@@ -1,0 +1,139 @@
+"""Last-writer-wins resolution — the engine's core operator.
+
+Re-expresses the reference's batch dedup before every sink write:
+- MySQL-sink "normal" mode reverse-iterates the batch and keeps the FIRST
+  hit per PK, i.e. the latest op
+  (/root/reference/plugin/mysql/src/mysql_normal_sync.go:16-146);
+- ClickHouse-sink mode splits updates into delete(before-image) +
+  insert(after-image) sets (/root/reference/plugin/clickhouse/src/normal_sync.go:18-203),
+  which is what makes PK-CHANGING updates correct.
+
+Spark-first design notes (scale):
+- ``events_to_ops`` is a narrow op: one ``explode`` of a 2-element array —
+  no shuffle.  An update only fans out to (delete, upsert) when the PK
+  actually changed; the intra-event order is encoded in ``seq =
+  event_id*2 (+1 for the upsert)`` so LWW stays a single max.
+- The default ``agg`` strategy is ``groupBy(pk).agg(max_by(payload, seq))``:
+  Catalyst plans it as partial_max_by → shuffle → final_max_by, so hot keys
+  (the linux/chromium mega-repos) are combined map-side BEFORE the shuffle —
+  this partial aggregation is the scalable equivalent of explicit hot-key
+  salting, with AQE skew handling on top.  A window/row_number plan, by
+  contrast, must shuffle EVERY raw event of a hot key to one partition.
+- ``salted_window`` implements the explicit two-phase salt for comparison
+  and for engines without max_by partial pushdown: LWW within (pk, salt),
+  then LWW across salts — associative because LWW is max by seq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bifrost_spark.schemas import PK_COLUMNS
+
+OP_PAYLOAD = ["commit", "lang", "content", "extra"]
+
+
+def events_to_ops(events: DataFrame) -> DataFrame:
+    """Normalize insert/update/delete events into keyed ops.
+
+    Output: one row per (pk, op) with ``op in ('upsert','delete')`` and a
+    total-order ``seq``.  update = delete(before-PK) + upsert(after) when the
+    PK changed, else a single upsert — mirroring normal_sync.go:45-79 where
+    k%2==0 selects the before image.
+    """
+    e = events.filter(F.col("event_type").isin("insert", "update", "delete"))
+    pk_changed = (
+        (F.col("event_type") == "update")
+        & F.col("before").isNotNull()
+        & (
+            (F.col("before.repo") != F.col("after.repo"))
+            | (F.col("before.path") != F.col("after.path"))
+        )
+    )
+
+    def _op_struct(op_col, repo, path, commit, lang, content, extra, seq):
+        return F.struct(
+            op_col.alias("op"),
+            repo.alias("repo"),
+            path.alias("path"),
+            commit.alias("commit"),
+            lang.alias("lang"),
+            content.alias("content"),
+            extra.alias("extra"),
+            seq.alias("seq"),
+        )
+
+    nulls = F.lit(None).cast("string")
+    nullm = F.lit(None).cast("map<string,string>")
+    del_struct = F.when(
+        (F.col("event_type") == "delete") | pk_changed,
+        _op_struct(
+            F.lit("delete"),
+            F.col("before.repo"),
+            F.col("before.path"),
+            nulls,
+            nulls,
+            nulls,
+            nullm,
+            F.col("event_id") * 2,
+        ),
+    )
+    ups_struct = F.when(
+        F.col("event_type") != "delete",
+        _op_struct(
+            F.lit("upsert"),
+            F.col("after.repo"),
+            F.col("after.path"),
+            F.col("after.commit"),
+            F.col("after.lang"),
+            F.col("after.content"),
+            F.col("after.extra"),
+            F.col("event_id") * 2 + 1,
+        ),
+    )
+
+    return (
+        e.select(
+            F.col("event_id"),
+            F.col("schema_version"),
+            F.explode(F.filter(F.array(del_struct, ups_struct), lambda x: x.isNotNull())).alias("o"),
+        )
+        .select("event_id", "schema_version", "o.*")
+    )
+
+
+def resolve_lww(ops: DataFrame, strategy: str = "agg", n_salts: int = 16) -> DataFrame:
+    """Collapse ops to at most one terminal op per PK (latest seq wins).
+
+    ``strategy``:
+      - ``agg`` (default, scale path): max_by with map-side partial combine.
+      - ``window``: row_number() == 1 — the literal translation of
+        mysql_normal_sync.go's reverse scan; shuffles all rows per key.
+      - ``salted_window``: two-phase window with explicit hot-key salting
+        (SURVEY.md §4 custom-work item 4).
+    All three return identical results (property-tested).
+    """
+    val = F.struct(*[F.col(c) for c in ["op", *OP_PAYLOAD, "event_id", "schema_version"]])
+    if strategy == "agg":
+        out = ops.groupBy(*PK_COLUMNS).agg(F.max_by(val, F.col("seq")).alias("v"), F.max("seq").alias("seq"))
+        return out.select(*PK_COLUMNS, "v.*", "seq")
+    if strategy == "window":
+        w = Window.partitionBy(*PK_COLUMNS).orderBy(F.desc("seq"))
+        return (
+            ops.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select(*PK_COLUMNS, "op", *OP_PAYLOAD, "event_id", "schema_version", "seq")
+        )
+    if strategy == "salted_window":
+        salted = ops.withColumn("_salt", F.pmod(F.xxhash64("seq"), F.lit(n_salts)))
+        w1 = Window.partitionBy(*PK_COLUMNS, "_salt").orderBy(F.desc("seq"))
+        within = salted.withColumn("_rn", F.row_number().over(w1)).filter(F.col("_rn") == 1).drop("_rn")
+        w2 = Window.partitionBy(*PK_COLUMNS).orderBy(F.desc("seq"))
+        return (
+            within.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select(*PK_COLUMNS, "op", *OP_PAYLOAD, "event_id", "schema_version", "seq")
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")

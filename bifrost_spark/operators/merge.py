@@ -1,0 +1,355 @@
+"""TargetTable — MERGE INTO semantics on plain parquet, Iceberg-shaped.
+
+No lake-format jars ship in this sandbox, so the Iceberg sink from
+SURVEY.md §7 step 2 is implemented behind this interface: a
+bucket-partitioned, snapshot-versioned, copy-on-write table whose commit
+protocol gives the same guarantees a MERGE INTO an Iceberg table would:
+
+- **Bucket partitioning** ``bucket = pmod(xxhash64(repo, path), n_buckets)``
+  (Iceberg's ``bucket(N, ...)`` transform).  A merge rewrites ONLY the
+  buckets its batch touches — at 100 TB with n_buckets=16384 a typical
+  micro-batch touches a bounded subset and the rewrite cost is proportional
+  to touched data, not table size.
+- **Snapshot versioning**: each commit writes new parquet under
+  ``data/<snapshot>/bucket=NN/`` then atomically swings ``_state/CURRENT``
+  (os.replace) to a JSON manifest mapping every bucket to the snapshot that
+  last rewrote it.  Readers see the old state until the pointer moves;
+  a crash mid-commit leaves only orphan files (GC-able), never a torn table.
+- **Idempotent commit manifests** (exactly-once, SURVEY.md §4 custom-work 2):
+  the manifest records every applied batch as
+  ``(batch_id, min/max event_id, per-bucket lineage metrics)``.
+  ``merge()`` first checks the applied set and no-ops on replay — the Spark
+  rebuild of the reference's LastSuccessBinlog-only-on-commit discipline
+  (/root/reference/server/to_server_consume.go:133-160,
+  /root/reference/server/storage.go:52-128), strengthened from
+  at-least-once+idempotent-sink to exactly-once.
+- **MERGE guard**: a source op only lands if ``src.event_id >
+  tgt.last_event_id`` — safe under overlapping replays (SURVEY.md §7).
+- **Schema evolution is metadata-only**: the registry rides in the manifest;
+  old files are never rewritten on ADD/MODIFY/DROP COLUMN — reads align
+  (null-pad / cast / prune) to the current version, like Iceberg schema ids.
+
+Reference semantics being reproduced: MySQL-sink REPLACE/ON-DUP-KEY/DELETE
+batch apply (/root/reference/plugin/mysql/src/mysql_normal_sync.go:16-146)
+and ClickHouse delete+insert apply
+(/root/reference/plugin/clickhouse/src/normal_sync.go:18-203), with batch
+commit alignment (/root/reference/plugin/mysql/src/mysql.go:482-668).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bifrost_spark.registry import SchemaRegistry
+from bifrost_spark.schemas import LOGICAL_TYPES, PK_COLUMNS, TARGET_BASE_FIELDS
+
+BASE_COLS = [f.name for f in TARGET_BASE_FIELDS]  # repo path commit lang content last_event_id
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in PK_COLUMNS]), F.lit(n_buckets)).cast("int")
+
+
+class TargetTable:
+    """A single-writer, multi-reader upsert table (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._load_state()
+
+    # ------------------------------------------------------------------ state
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, n_buckets: int = 32,
+               registry: SchemaRegistry | None = None) -> "TargetTable":
+        os.makedirs(os.path.join(path, "_state"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        state = {
+            "snapshot": "v00000000",
+            "n_buckets": n_buckets,
+            "registry": (registry or SchemaRegistry()).to_dict(),
+            "schema_version": (registry or SchemaRegistry()).current_version,
+            "buckets": {},
+            "applied": [],
+            "last_event_id": -1,
+        }
+        cls._write_snapshot(path, state)
+        return cls(spark, path)
+
+    @staticmethod
+    def _write_snapshot(path: str, state: dict) -> None:
+        snap = state["snapshot"]
+        sfile = os.path.join(path, "_state", f"{snap}.json")
+        tmp = sfile + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, sfile)
+        cur_tmp = os.path.join(path, "_state", f"CURRENT.tmp{uuid.uuid4().hex[:8]}")
+        with open(cur_tmp, "w") as f:
+            f.write(snap)
+        os.replace(cur_tmp, os.path.join(path, "_state", "CURRENT"))
+
+    def _load_state(self) -> None:
+        with open(os.path.join(self.path, "_state", "CURRENT")) as f:
+            snap = f.read().strip()
+        with open(os.path.join(self.path, "_state", f"{snap}.json")) as f:
+            self.state = json.load(f)
+        self.registry = SchemaRegistry.from_dict(self.state["registry"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self.state["n_buckets"]
+
+    @property
+    def applied_batch_ids(self) -> set[str]:
+        return {a["batch_id"] for a in self.state["applied"]}
+
+    @property
+    def last_event_id(self) -> int:
+        return self.state["last_event_id"]
+
+    def _next_snapshot(self) -> str:
+        return f"v{int(self.state['snapshot'][1:]) + 1:08d}"
+
+    # ------------------------------------------------------------------ read
+    def _schema(self) -> T.StructType:
+        fields = list(TARGET_BASE_FIELDS)
+        for name, ltype in self.registry.extra_columns(self.state["schema_version"]):
+            fields.append(T.StructField(name, LOGICAL_TYPES.get(ltype, T.StringType())))
+        return T.StructType(fields)
+
+    def _empty(self) -> DataFrame:
+        s = self._schema().add("bucket", T.IntegerType())
+        return self.spark.createDataFrame([], s)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state (optionally pruned to a bucket subset).
+
+        Buckets written under different snapshots/schema versions are read
+        per snapshot dir and unioned with null padding, then aligned (cast /
+        prune) to the current schema version.  The ``bucket=NN`` directory
+        layout makes the bucket filter a partition prune, not a data scan.
+        """
+        bmap: dict[str, str] = self.state["buckets"]
+        want = {str(b) for b in buckets} if buckets is not None else set(bmap)
+        by_snap: dict[str, list[str]] = {}
+        for b, snap in bmap.items():
+            if b in want:
+                by_snap.setdefault(snap, []).append(b)
+        if not by_snap:
+            return self._empty()
+        parts: list[DataFrame] = []
+        for snap, bs in sorted(by_snap.items()):
+            df = self.spark.read.parquet(os.path.join(self.path, "data", snap))
+            df = df.filter(F.col("bucket").isin([int(x) for x in bs]))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        aligned = self.registry.align(out, self.state["schema_version"], base_cols=[*BASE_COLS, "bucket"])
+        return aligned
+
+    def to_pandas_sorted(self):
+        import pandas as pd  # noqa: F401
+        return (
+            self.read()
+            .drop("bucket")
+            .orderBy(*PK_COLUMNS)
+            .toPandas()
+        )
+
+    # ------------------------------------------------------------------ write
+    def bootstrap(self, snapshot_df: DataFrame, batch_id: str = "bootstrap") -> dict:
+        """Initial full-sync load (reference "history", SURVEY.md §3.2):
+        INSERT OVERWRITE of every bucket, event_id=0 rows."""
+        if batch_id in self.applied_batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+        snap = self._next_snapshot()
+        out_dir = os.path.join(self.path, "data", snap)
+        df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets))
+        df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "bucket"])
+        df.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        written = self._buckets_in(out_dir)
+        st = dict(self.state)
+        st["snapshot"] = snap
+        st["buckets"] = {str(b): snap for b in written}
+        st["applied"] = st["applied"] + [
+            {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0, "n_ops": None, "kind": "bootstrap",
+             "committed_at": time.time(), "metrics": []}
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {"skipped": False, "batch_id": batch_id, "buckets": len(written)}
+
+    def _buckets_in(self, out_dir: str) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("bucket=")
+        )
+
+    def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
+              schema_version: int | None = None) -> dict:
+        """MERGE the LWW-resolved ops (one terminal op per PK) into the table.
+
+        Equivalent SQL (SURVEY.md §2.3 M1):
+          MERGE INTO target t USING resolved s ON t.repo=s.repo AND t.path=s.path
+          WHEN MATCHED AND s.op='delete' AND s.event_id > t.last_event_id THEN DELETE
+          WHEN MATCHED AND s.event_id > t.last_event_id THEN UPDATE SET *
+          WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *
+        """
+        if batch_id in self.applied_batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+
+        sv = self.state["schema_version"] if schema_version is None else schema_version
+        extras = [n for n, _t in self.registry.extra_columns(sv)]
+
+        src = resolved.withColumn("bucket", bucket_expr(self.n_buckets))
+        # typed extras out of the map column (if present), else passthrough
+        if "extra" in src.columns:
+            for name, ltype in self.registry.extra_columns(sv):
+                src = src.withColumn(name, F.col("extra")[name].cast(LOGICAL_TYPES.get(ltype, T.StringType())))
+            src = src.drop("extra")
+        src = src.select(
+            *PK_COLUMNS, "op", "commit", "lang", "content",
+            F.col("event_id").alias("src_event_id"), "bucket", *extras,
+        ).persist()
+
+        # per-bucket lineage metrics + affected-bucket list in ONE small job
+        # over the already-deduped source (≤1 row per key).
+        mrows = (
+            src.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.sum(F.when(F.col("op") == "upsert", 1).otherwise(0)).alias("upserts"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+                F.min("src_event_id").alias("min_event_id"),
+                F.max("src_event_id").alias("max_event_id"),
+            )
+            .collect()
+        )
+        affected = sorted(r["bucket"] for r in mrows)
+        t0 = time.time()
+        if not affected:
+            src.unpersist()
+            return self._commit_noop(batch_id, batch_range)
+
+        tgt = self.read(buckets=affected)
+        joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
+        newer = F.col("s.src_event_id") > F.coalesce(F.col("t.last_event_id"), F.lit(-1))
+        take_src = F.col("s.op").isNotNull() & newer & (F.col("s.op") == "upsert")
+        keep_tgt = F.col("t.last_event_id").isNotNull() & ~(F.col("s.op").isNotNull() & newer & (F.col("s.op") == "delete")) & ~take_src
+
+        def pick(col: str):
+            s = F.col(f"s.{col}") if col in ("commit", "lang", "content", *extras) else None
+            t_ = F.col(f"t.{col}")
+            return F.when(take_src, s).otherwise(t_).alias(col)
+
+        out = joined.filter(take_src | keep_tgt).select(
+            *PK_COLUMNS,
+            pick("commit"),
+            pick("lang"),
+            pick("content"),
+            F.when(take_src, F.col("s.src_event_id")).otherwise(F.col("t.last_event_id")).alias("last_event_id"),
+            *[pick(c) for c in extras],
+            F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
+        )
+
+        snap = self._next_snapshot()
+        out_dir = os.path.join(self.path, "data", snap)
+        (
+            out.repartition(max(len(affected), 1), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        src.unpersist()
+        written = set(self._buckets_in(out_dir))
+        wall_ms = (time.time() - t0) * 1000
+
+        st = dict(self.state)
+        st["snapshot"] = snap
+        bmap = dict(st["buckets"])
+        for b in affected:
+            if b in written:
+                bmap[str(b)] = snap
+            else:
+                bmap.pop(str(b), None)  # bucket emptied by deletes
+        st["buckets"] = bmap
+        st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        st["applied"] = st["applied"] + [
+            {
+                "batch_id": batch_id,
+                "min_event_id": batch_range[0],
+                "max_event_id": batch_range[1],
+                "kind": "merge",
+                "n_ops": int(sum(r["rows_in"] for r in mrows)),
+                "committed_at": time.time(),
+                "wall_ms": wall_ms,
+                "metrics": [
+                    {
+                        "bucket": r["bucket"],
+                        "rows_in": r["rows_in"],
+                        "upserts": r["upserts"],
+                        "deletes": r["deletes"],
+                        "min_event_id": r["min_event_id"],
+                        "max_event_id": r["max_event_id"],
+                    }
+                    for r in mrows
+                ],
+            }
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "buckets_rewritten": len(affected),
+            "n_ops": int(sum(r["rows_in"] for r in mrows)),
+            "wall_ms": wall_ms,
+        }
+
+    def _commit_noop(self, batch_id: str, batch_range: tuple[int, int]) -> dict:
+        st = dict(self.state)
+        st["snapshot"] = self._next_snapshot()
+        st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        st["applied"] = st["applied"] + [
+            {"batch_id": batch_id, "min_event_id": batch_range[0], "max_event_id": batch_range[1],
+             "kind": "noop", "n_ops": 0, "committed_at": time.time(), "metrics": []}
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {"skipped": False, "batch_id": batch_id, "n_ops": 0}
+
+    # ------------------------------------------------------------------ DDL
+    def apply_ddl(self, query: str, batch_id: str, event_id: int) -> dict:
+        """Schema evolution — metadata-only commit (Iceberg-style).
+
+        ADD/MODIFY/CHANGE/DROP COLUMN bump the registry; data files are not
+        rewritten (reads align).  TRUNCATE clears the bucket map.  Mirrors
+        the reference's ALTER transfer + cache invalidation
+        (/root/reference/plugin/clickhouse/src/alter_sql.go:59-330,
+        /root/reference/Bristol/mysql/conn_dump.go:196-203).
+        """
+        if batch_id in self.applied_batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+        new_v = self.registry.apply_ddl(query)
+        st = dict(self.state)
+        st["snapshot"] = self._next_snapshot()
+        st["registry"] = self.registry.to_dict()
+        st["schema_version"] = new_v.version
+        if new_v.truncated:
+            st["buckets"] = {}
+        st["last_event_id"] = max(st["last_event_id"], event_id)
+        st["applied"] = st["applied"] + [
+            {"batch_id": batch_id, "min_event_id": event_id, "max_event_id": event_id,
+             "kind": "ddl", "query": query, "n_ops": 0, "committed_at": time.time(), "metrics": []}
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {"skipped": False, "batch_id": batch_id, "schema_version": new_v.version}

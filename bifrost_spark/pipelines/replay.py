@@ -1,0 +1,91 @@
+"""Replay engine: ordered change-event batches → LWW → MERGE, DDL barriers.
+
+This is the Spark-side equivalent of the reference's consume loop
+(/root/reference/server/to_server_consume.go:50-484): a micro-batch replaces
+the bounded queue + 500-event sink transaction
+(/root/reference/plugin/mysql/src/mysql.go:482-668), and the DDL-as-barrier
+rule replaces its synthetic BEGIN/COMMIT around DDL
+(/root/reference/Bristol/mysql/conn_dump.go:242-277): a merge never mixes
+two schema versions of one table (SURVEY.md §7 "DDL barrier").
+
+``apply_batch`` takes ANY set of events (a chunk, a streaming micro-batch,
+an overlapping replay) and is idempotent: segment batch_ids derive from the
+actual event_id range, and the TargetTable manifest skips applied ranges.
+DDL events are collected driver-side — there are only ever a handful per
+stream — while all row data stays distributed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bifrost_spark.operators.lww import events_to_ops, resolve_lww
+from bifrost_spark.operators.merge import TargetTable
+
+
+class ReplayEngine:
+    def __init__(self, table: TargetTable, lww_strategy: str = "agg"):
+        self.table = table
+        self.lww_strategy = lww_strategy
+
+    def apply_batch(self, events: DataFrame) -> list[dict]:
+        """Apply one micro-batch: split at DDL barriers, then per segment
+        resolve-LWW + MERGE; DDLs commit as metadata-only snapshots in
+        event_id order."""
+        events = events.persist()
+        try:
+            ddls = sorted(
+                events.filter(F.col("event_type") == "ddl").select("event_id", "query").collect(),
+                key=lambda r: r["event_id"],
+            )
+            results: list[dict] = []
+            bounds = [-1] + [r["event_id"] for r in ddls] + [None]
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                seg = events.filter(F.col("event_type").isin("insert", "update", "delete"))
+                seg = seg.filter(F.col("event_id") > lo)
+                if hi is not None:
+                    seg = seg.filter(F.col("event_id") < hi)
+                results.extend(self._merge_segment(seg))
+                if hi is not None:
+                    ddl = ddls[i]
+                    results.append(
+                        self.table.apply_ddl(ddl["query"], batch_id=f"ddl:{ddl['event_id']}", event_id=ddl["event_id"])
+                    )
+            return results
+        finally:
+            events.unpersist()
+
+    def _merge_segment(self, seg: DataFrame) -> list[dict]:
+        r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"), F.count("*").alias("n")).collect()[0]
+        if r["n"] == 0:
+            return []
+        batch_id = f"merge:{r['lo']}-{r['hi']}"
+        if batch_id in self.table.applied_batch_ids:
+            return [{"skipped": True, "batch_id": batch_id}]
+        resolved = resolve_lww(events_to_ops(seg), strategy=self.lww_strategy)
+        return [self.table.merge(resolved, batch_id=batch_id, batch_range=(r["lo"], r["hi"]))]
+
+
+def replay_event_log(
+    spark: SparkSession,
+    log_path: str,
+    table: TargetTable,
+    lww_strategy: str = "agg",
+    start_chunk: int = 0,
+    end_chunk: int | None = None,
+) -> list[dict]:
+    """Chunked batch replay of a ``write_event_log`` directory in order —
+    the micro-batch emulation driver (SURVEY.md §7 step 3).  ``start_chunk``
+    lets a killed run resume; re-running committed chunks is a no-op via
+    manifests (exactly-once)."""
+    engine = ReplayEngine(table, lww_strategy)
+    chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
+    results: list[dict] = []
+    for chunk in chunks[start_chunk:end_chunk]:
+        df = spark.read.parquet(os.path.join(log_path, chunk))
+        results.extend(engine.apply_batch(df))
+    return results

@@ -1,0 +1,123 @@
+"""Versioned schema registry.
+
+The reference caches one point-in-time schema per table fetched out-of-band
+from information_schema, invalidated by DDL / rotate events
+(/root/reference/Bristol/mysql/parser.go:342-582,
+/root/reference/Bristol/mysql/conn_dump.go:196-203).  That makes DDL a
+barrier: events after a DDL decode with the *new* schema.
+
+Here the registry is explicit and versioned: version 0 is the fixed
+north-rule payload (repo, path, commit, lang, content); each DDL op produces
+version N+1.  ``extra_columns(v)`` lists the DDL-added columns live at
+version v with their logical types; ``align(df, v)`` projects a target-table
+DataFrame onto version v's column set (pad new columns with typed nulls,
+drop removed ones, cast modified ones) — the Spark-side equivalent of the
+reference's Arrow-batch rewrite requirement.
+
+The registry is tiny driver-side state (a handful of versions); it is
+serialized into every TargetTable snapshot so a restart resumes with the
+correct schema (SURVEY.md §7 module 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bifrost_spark.ddl import DDLOp, classify_query
+from bifrost_spark.schemas import LOGICAL_TYPES, PAYLOAD_COLUMNS
+
+
+@dataclass(frozen=True)
+class SchemaVersion:
+    version: int
+    # ordered (name, logical_type) for DDL-added columns present at this version
+    extras: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    truncated: bool = False  # this version was created by TRUNCATE
+
+
+class SchemaRegistry:
+    def __init__(self, versions: list[SchemaVersion] | None = None) -> None:
+        self._versions: list[SchemaVersion] = versions or [SchemaVersion(0)]
+
+    # -- evolution ---------------------------------------------------------
+    @property
+    def current(self) -> SchemaVersion:
+        return self._versions[-1]
+
+    @property
+    def current_version(self) -> int:
+        return self._versions[-1].version
+
+    def version(self, v: int) -> SchemaVersion:
+        return self._versions[v]
+
+    def apply_ddl(self, op: DDLOp | str) -> SchemaVersion:
+        """Apply one DDL op (or raw SQL) → new version. Unknown/no-op DDL
+        still bumps the version so event ``schema_version`` stays aligned."""
+        if isinstance(op, str):
+            op = classify_query(op)
+        cur = dict(self.current.extras)
+        truncated = False
+        ops = op.sections if op.kind == "alter_multi" else (op,)
+        for o in ops:
+            if o.kind == "add_column":
+                if o.column not in PAYLOAD_COLUMNS:
+                    cur[o.column] = o.logical_type or "string"
+            elif o.kind == "modify_column":
+                if o.column in cur:
+                    cur[o.column] = o.logical_type or cur[o.column]
+            elif o.kind == "change_column":
+                if o.column in cur:
+                    t = o.logical_type or cur[o.column]
+                    del cur[o.column]
+                    cur[o.new_column] = t
+            elif o.kind == "drop_column":
+                cur.pop(o.column, None)
+            elif o.kind == "truncate":
+                truncated = True
+        nv = SchemaVersion(self.current_version + 1, tuple(cur.items()), truncated)
+        self._versions.append(nv)
+        return nv
+
+    # -- DataFrame alignment ------------------------------------------------
+    def extra_columns(self, v: int | None = None) -> tuple[tuple[str, str], ...]:
+        return (self.current if v is None else self.version(v)).extras
+
+    def typed_extra(self, name: str, ltype: str, source: Column) -> Column:
+        return source.cast(LOGICAL_TYPES.get(ltype, LOGICAL_TYPES["string"]))
+
+    def align(self, df: DataFrame, v: int | None = None, base_cols: list[str] | None = None) -> DataFrame:
+        """Project ``df`` onto schema version ``v``: base columns first, then
+        each extra column (typed-null-padded if absent, cast if present).
+        Pure projection — Catalyst folds it into the scan (column pruning)."""
+        sv = self.current if v is None else self.version(v)
+        base = base_cols or [c for c in df.columns if c not in dict(sv.extras) and not c.startswith("_")]
+        cols: list[Column] = [F.col(c) for c in base if c in df.columns]
+        for name, ltype in sv.extras:
+            t = LOGICAL_TYPES.get(ltype, LOGICAL_TYPES["string"])
+            if name in df.columns:
+                cols.append(F.col(name).cast(t).alias(name))
+            else:
+                cols.append(F.lit(None).cast(t).alias(name))
+        return df.select(*cols)
+
+    # -- (de)serialization for snapshot manifests ----------------------------
+    def to_dict(self) -> dict:
+        return {
+            "versions": [
+                {"version": s.version, "extras": [list(e) for e in s.extras], "truncated": s.truncated}
+                for s in self._versions
+            ]
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SchemaRegistry":
+        return cls(
+            [
+                SchemaVersion(s["version"], tuple((n, t) for n, t in s["extras"]), s.get("truncated", False))
+                for s in d["versions"]
+            ]
+        )

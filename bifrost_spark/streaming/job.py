@@ -1,0 +1,49 @@
+"""Structured Streaming wrapper: event-log file stream → foreachBatch apply.
+
+The streaming shape of the replay engine (SURVEY.md §7 step 4): the file
+source tails the chunked event log the way the reference's dump goroutine
+tails the binlog (/root/reference/Bristol/mysql/conn_dump.go:97-299); Spark's
+checkpoint replaces the LevelDB position store for SOURCE offsets
+(/root/reference/server/storage.go:52-128), and the TargetTable commit
+manifest makes the SINK exactly-once even if the checkpoint is wiped —
+``foreachBatch`` is only at-least-once on its own.
+
+On a real deployment the source line changes to
+``spark.readStream.format("kafka")`` + the format decoders in
+bifrost_spark/sources/kafka_formats.py; everything downstream is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from bifrost_spark.operators.merge import TargetTable
+from bifrost_spark.pipelines.replay import ReplayEngine
+from bifrost_spark.schemas import EVENT_SCHEMA
+
+
+def start_cdc_stream(
+    spark: SparkSession,
+    log_path: str,
+    table: TargetTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    lww_strategy: str = "agg",
+) -> StreamingQuery:
+    engine = ReplayEngine(table, lww_strategy)
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA.add("chunk", "string"))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(log_path)
+        .drop("chunk")
+    )
+
+    def _apply(batch_df, epoch_id: int):  # noqa: ANN001
+        engine.apply_batch(batch_df)
+
+    writer = events.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,80 @@
+"""DDL classifier unit tests — mirrors the reference's table-driven tests
+(/root/reference/Bristol/mysql/binlog_query_test.go,
+/root/reference/plugin/clickhouse/src/alter_sql_test.go)."""
+
+from bifrost_spark.ddl import classify_query
+from bifrost_spark.registry import SchemaRegistry
+
+
+def test_non_ddl():
+    for q in ["BEGIN", "COMMIT", "GRANT ALL ON *.* TO x", "insert into t values (1)"]:
+        assert classify_query(q).is_ddl is False
+
+
+def test_add_column():
+    op = classify_query("ALTER TABLE code.repos ADD COLUMN stars INT NULL")
+    assert (op.kind, op.schema_name, op.table_name, op.column, op.logical_type) == (
+        "add_column", "code", "repos", "stars", "int")
+
+
+def test_add_column_no_kw_and_backticks():
+    op = classify_query("alter table `code`.`repos` add `lines` bigint default 0")
+    assert (op.kind, op.column, op.logical_type) == ("add_column", "lines", "bigint")
+
+
+def test_modify_column():
+    op = classify_query("ALTER TABLE code.repos MODIFY COLUMN stars BIGINT")
+    assert (op.kind, op.column, op.logical_type) == ("modify_column", "stars", "bigint")
+
+
+def test_change_column():
+    op = classify_query("ALTER TABLE repos CHANGE COLUMN stars star_count BIGINT NOT NULL")
+    assert (op.kind, op.column, op.new_column, op.logical_type) == (
+        "change_column", "stars", "star_count", "bigint")
+
+
+def test_drop_column():
+    op = classify_query("ALTER TABLE code.repos DROP COLUMN stars")
+    assert (op.kind, op.column) == ("drop_column", "stars")
+
+
+def test_multi_section_alter_drops_index_sections():
+    op = classify_query(
+        "ALTER TABLE t ADD COLUMN a INT, ADD INDEX idx_a (a), DROP COLUMN b, ADD PRIMARY KEY (id)")
+    assert op.kind == "alter_multi"
+    kinds = [s.kind for s in op.sections]
+    assert kinds == ["add_column", "drop_column"]
+
+
+def test_truncate_drop_create_rename():
+    assert classify_query("TRUNCATE TABLE code.repos").kind == "truncate"
+    assert classify_query("truncate code.repos").kind == "truncate"
+    assert classify_query("DROP TABLE IF EXISTS code.repos").kind == "drop_table"
+    assert classify_query("CREATE TABLE code.repos (a int)").kind == "create_table"
+    assert classify_query("RENAME TABLE code.repos TO code.repos2").kind == "rename_table"
+
+
+def test_comment_stripping():
+    op = classify_query("/* gh-ost */ ALTER TABLE code.repos ADD COLUMN x INT -- trail")
+    assert op.kind == "add_column" and op.column == "x"
+
+
+def test_registry_evolution_roundtrip():
+    reg = SchemaRegistry()
+    reg.apply_ddl("ALTER TABLE code.repos ADD COLUMN stars INT")
+    reg.apply_ddl("ALTER TABLE code.repos MODIFY COLUMN stars BIGINT")
+    reg.apply_ddl("ALTER TABLE code.repos ADD COLUMN notes STRING")
+    assert reg.extra_columns(1) == (("stars", "int"),)
+    assert reg.extra_columns(2) == (("stars", "bigint"),)
+    assert reg.extra_columns(3) == (("stars", "bigint"), ("notes", "string"))
+    reg.apply_ddl("ALTER TABLE code.repos DROP COLUMN stars")
+    assert reg.extra_columns(4) == (("notes", "string"),)
+    reg2 = SchemaRegistry.from_dict(reg.to_dict())
+    assert reg2.extra_columns(4) == reg.extra_columns(4)
+    assert reg2.current_version == 4
+
+
+def test_registry_truncate_flag():
+    reg = SchemaRegistry()
+    v = reg.apply_ddl("TRUNCATE TABLE code.repos")
+    assert v.truncated is True

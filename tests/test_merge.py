@@ -1,0 +1,152 @@
+"""TargetTable MERGE semantics: upsert/delete branches, guard, idempotency,
+bucket pruning, bootstrap."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bifrost_spark.operators.merge import TargetTable
+from bifrost_spark.registry import SchemaRegistry
+
+
+def _resolved(spark, rows):
+    # rows: (repo, path, op, commit, lang, content, extra, event_id)
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, op string, commit string, lang string, "
+        "content string, extra map<string,string>, event_id long",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+
+
+def _state(table):
+    return {(r["repo"], r["path"]): r for r in table.read().collect()}
+
+
+def test_insert_update_delete_branches(spark, table):
+    r1 = table.merge(
+        _resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2),
+                          ("r", "b", "upsert", "c2", "go", "b1", None, 4)]),
+        batch_id="b1", batch_range=(2, 4),
+    )
+    assert r1["n_ops"] == 2
+    s = _state(table)
+    assert s[("r", "a")]["content"] == "v1" and len(s) == 2
+
+    table.merge(
+        _resolved(spark, [("r", "a", "upsert", "c3", "py", "v2", None, 6),
+                          ("r", "b", "delete", None, None, None, None, 8),
+                          ("r", "c", "upsert", "c4", "rs", "c1", None, 10)]),
+        batch_id="b2", batch_range=(6, 10),
+    )
+    s = _state(table)
+    assert set(s) == {("r", "a"), ("r", "c")}
+    assert s[("r", "a")]["content"] == "v2" and s[("r", "a")]["last_event_id"] == 6
+
+
+def test_merge_idempotent_replay(spark, table):
+    src = _resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2)])
+    table.merge(src, batch_id="b1", batch_range=(2, 2))
+    out = table.merge(src, batch_id="b1", batch_range=(2, 2))
+    assert out["skipped"] is True
+    assert len(table.state["applied"]) == 1
+
+
+def test_event_id_guard_on_overlapping_replay(spark, table):
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c9", "py", "NEW", None, 100)]),
+                batch_id="new", batch_range=(100, 100))
+    # a stale batch replayed under a different batch_id must not regress the row
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "OLD", None, 50),
+                                  ("r", "b", "delete", None, None, None, None, 60)]),
+                batch_id="stale", batch_range=(50, 60))
+    s = _state(table)
+    assert s[("r", "a")]["content"] == "NEW" and s[("r", "a")]["last_event_id"] == 100
+
+
+def test_delete_of_absent_key_is_noop(spark, table):
+    table.merge(_resolved(spark, [("r", "zz", "delete", None, None, None, None, 2)]),
+                batch_id="b1", batch_range=(2, 2))
+    assert table.read().count() == 0
+
+
+def test_bucket_pruning_rewrites_only_touched_buckets(spark, table):
+    rows = [(f"repo{i}", f"p{i}", "upsert", "c", "py", f"v{i}", None, 2 + 2 * i) for i in range(64)]
+    table.merge(_resolved(spark, rows), batch_id="seed", batch_range=(2, 200))
+    snap_before = {b: s for b, s in table.state["buckets"].items()}
+    out = table.merge(_resolved(spark, [("repo3", "p3", "upsert", "c", "py", "vX", None, 500)]),
+                      batch_id="point", batch_range=(500, 500))
+    assert out["buckets_rewritten"] == 1
+    changed = [b for b, s in table.state["buckets"].items() if snap_before.get(b) != s]
+    assert len(changed) == 1
+    s = _state(table)
+    assert s[("repo3", "p3")]["content"] == "vX" and s[("repo5", "p5")]["content"] == "v5"
+
+
+def test_bootstrap_then_incremental(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t2"), n_buckets=8)
+    snap = spark.createDataFrame(
+        [("r", "a", "c0", "py", "base", 0), ("r", "b", "c0", "py", "base", 0)],
+        "repo string, path string, commit string, lang string, content string, last_event_id long",
+    )
+    table.bootstrap(snap)
+    assert table.bootstrap(snap)["skipped"] is True
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "inc", None, 2)]),
+                batch_id="b1", batch_range=(2, 2))
+    s = _state(table)
+    assert s[("r", "a")]["content"] == "inc" and s[("r", "b")]["content"] == "base"
+
+
+def test_ddl_add_column_then_merge_and_metadata_only_read(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t3"), n_buckets=4)
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2)]),
+                batch_id="b1", batch_range=(2, 2))
+    table.apply_ddl("ALTER TABLE code.repos ADD COLUMN stars INT", batch_id="ddl:3", event_id=3)
+    # old rows read back with null stars (no rewrite)
+    s = _state(table)
+    assert s[("r", "a")]["stars"] is None
+    table.merge(_resolved(spark, [("r", "b", "upsert", "c2", "go", "v2", {"stars": "42"}, 4)]),
+                batch_id="b2", batch_range=(4, 4))
+    s = _state(table)
+    assert s[("r", "b")]["stars"] == 42 and s[("r", "a")]["stars"] is None
+    # MODIFY widens on read
+    table.apply_ddl("ALTER TABLE code.repos MODIFY COLUMN stars BIGINT", batch_id="ddl:5", event_id=5)
+    row = table.read().filter(F.col("path") == "b").collect()[0]
+    assert row["stars"] == 42
+    # DROP prunes
+    table.apply_ddl("ALTER TABLE code.repos DROP COLUMN stars", batch_id="ddl:6", event_id=6)
+    assert "stars" not in table.read().columns
+
+
+def test_truncate_clears(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t4"), n_buckets=4)
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2)]),
+                batch_id="b1", batch_range=(2, 2))
+    table.apply_ddl("TRUNCATE TABLE code.repos", batch_id="ddl:3", event_id=3)
+    assert table.read().count() == 0
+
+
+def test_manifest_lineage_metrics(spark, table):
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2),
+                                  ("r", "b", "delete", None, None, None, None, 4)]),
+                batch_id="b1", batch_range=(2, 4))
+    entry = table.state["applied"][-1]
+    assert entry["n_ops"] == 2
+    total = {"rows_in": 0, "upserts": 0, "deletes": 0}
+    for m in entry["metrics"]:
+        for k in total:
+            total[k] += m[k]
+    assert total == {"rows_in": 2, "upserts": 1, "deletes": 1}
+    assert all("wall_ms" in entry for entry in [entry])
+
+
+def test_reopen_from_disk(spark, tmp_path):
+    p = str(tmp_path / "t5")
+    t1 = TargetTable.create(spark, p, n_buckets=4, registry=SchemaRegistry())
+    t1.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "v1", None, 2)]),
+             batch_id="b1", batch_range=(2, 2))
+    t2 = TargetTable(spark, p)
+    assert _state(t2)[("r", "a")]["content"] == "v1"
+    assert "b1" in t2.applied_batch_ids
