@@ -1,38 +1,750 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2's operator inventory onto the driver-provided
+tables (events/documents/embeddings/TPC-H-ish) so every operator semantics
+has a DuckDB-checkable oracle in ``oracle_sql()``; the CDC engine itself
+(generator → LWW → MERGE → manifests) is additionally verified end-to-end
+against a sequential-apply oracle in tests/ (pytest), and exposed here as the
+rows-only ``cdc_replay_e2e`` entry.
+
+Naming convention: keys are prefixed with the SURVEY.md §2 operator id they
+exercise (s5_*, f2_*, m1_*, a1_*, c1_*), plus q* analytics and the
+training-data-pipeline ops (dedup_*, sim_*, text_*).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "it"]
+_SW_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW latest-state resolution (SURVEY.md §2.3 M1) over the
+    sf0.001 ordered event stream — the core CDC operator."""
+    return q_m1_lww_latest_state(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# CDC operator queries (events table as the ordered change stream)
+# --------------------------------------------------------------------------
+
+def q_m1_lww_latest_state(spark, sf_dir):
+    """M1: last-writer-wins per key by monotone event_id (max_by → partial
+    map-side combine; the scale path vs. a window over all raw events).
+    Ref: /root/reference/plugin/mysql/src/mysql_normal_sync.go:16-146."""
+    ev = _ev(spark, sf_dir)
+    v = F.struct("event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(v, F.col("event_id")).alias("last"),
+            F.max("event_id").alias("last_event_id"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.round(F.col("last.value").cast("double"), 4).alias("last_value"),
+            "last_event_id",
+            "n_events",
+        )
+    )
+
+
+def q_m2_lww_final_no_deletes(spark, sf_dir):
+    """M2: delete+insert LWW — 'error' as the delete op: keys whose LAST
+    event is an error vanish from the final state.
+    Ref: /root/reference/plugin/clickhouse/src/normal_sync.go:18-203."""
+    ev = _ev(spark, sf_dir)
+    last = ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_type"), F.col("event_id")).alias("last_event_type"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    return last.filter(F.col("last_event_type") != "error").select(
+        "user_id", "last_event_type", "last_event_id"
+    )
+
+
+def q_m3_append_changelog(spark, sf_dir):
+    """M3: append/log mode — every op becomes an insert with binlog metadata
+    columns. Ref: /root/reference/plugin/mysql/src/mysql_log_mod_sync_append.go:13-89."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("binlog_event_type"),
+        F.date_trunc("second", F.col("ts")).alias("binlog_datetime"),
+        F.round(F.col("value").cast("double"), 4).alias("value"),
+    )
+
+
+def q_m7_commit_batches(spark, sf_dir):
+    """M7: batch-commit alignment — one commit record per BatchSize=500
+    window carrying the closing position.
+    Ref: /root/reference/plugin/mysql/src/mysql.go:482-668."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.withColumn("batch_num", F.floor(F.col("event_id") / 500).cast("long"))
+        .groupBy("batch_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("commit_event_id"),
+        )
+    )
+
+
+def q_f2_event_type_filter(spark, sf_dir):
+    """F2: event-type subscription filter (eventDo list).
+    Ref: /root/reference/Bristol/mysql/conn_dump.go:237-240."""
+    ev = _ev(spark, sf_dir)
+    return ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_f6_wildcard_route(spark, sf_dir):
+    """F6: wildcard/regex routing of events to sink configs.
+    Ref: /root/reference/server/db.go:371-397."""
+    ev = _ev(spark, sf_dir)
+    route = (
+        F.when(F.col("event_type").rlike("^(click|view)$"), F.lit("web_sink"))
+        .when(F.col("event_type").rlike("^(purchase|signup)$"), F.lit("biz_sink"))
+        .otherwise(F.lit("dead_letter"))
+    )
+    return ev.withColumn("route", route).groupBy("route").agg(
+        F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_f9_stale_skip(spark, sf_dir):
+    """F9: stale-event skip — drop already-committed positions on redelivery.
+    Ref: /root/reference/server/channel_consume.go:300-314."""
+    ev = _ev(spark, sf_dir)
+    return ev.filter(F.col("event_id") > 1000).groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.min("event_id").alias("min_event_id")
+    )
+
+
+def q_f11_noop_suppression(spark, sf_dir):
+    """F11: drop updates whose tracked value did not change vs the previous
+    event of the same key. Ref: /root/reference/server/to_server_consume.go:532-569."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_changed"))
+    )
+
+
+def q_f13_split_rows(spark, sf_dir):
+    """F13: multi-row event splitting via explode, intra-event order kept as
+    (event_id, row_idx). Ref: /root/reference/server/to_server_consume.go:364-432."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") < 2000)
+    n_rows = (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.posexplode(F.sequence(F.lit(1), n_rows)).alias("row_idx", "row_no"),
+    ).select("event_id", "user_id", "row_idx", "row_no")
+
+
+def q_f14_template_projection(spark, sf_dir):
+    """F14: the {$tag} computed-column template DSL, incl. nested JSON paths.
+    Ref: /root/reference/plugin/driver/driver.go:143-284."""
+    ev = _ev(spark, sf_dir)
+    key = F.concat_ws(
+        "", F.lit("events-"), F.col("user_id").cast("string"), F.lit("/"),
+        F.col("event_type"), F.lit("@"), F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        key.alias("sink_key"),
+        F.get_json_object(F.col("props"), "$.k").alias("json_k"),
+    )
+
+
+def q_a1_flow_counters(spark, sf_dir):
+    """A1: time-bucketed flow counters per event type.
+    Ref: /root/reference/server/count/count.go:11-115."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_a2_table_counts(spark, sf_dir):
+    """A2: lifetime per-type op counters (TableCount sink).
+    Ref: /root/reference/plugin/TableCount/src/flow.go."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_a3_min_position(spark, sf_dir):
+    """A3: min-position ack across consumers — the source may only commit
+    min over per-consumer max positions.
+    Ref: /root/reference/server/input_min_position.go:11-130."""
+    ev = _ev(spark, sf_dir)
+    per_sink = ev.groupBy("event_type").agg(F.max("event_id").alias("sink_pos"))
+    return per_sink.agg(
+        F.min("sink_pos").alias("ack_event_id"),
+        F.count("*").alias("n_sinks"),
+    )
+
+
+def q_c1_manifest_ranges(spark, sf_dir):
+    """C1: per-partition commit-manifest lineage (offset ranges + counts).
+    Ref: /root/reference/server/storage.go:112-128; our TargetTable manifest."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.withColumn("partition_id", F.pmod(F.col("event_id"), F.lit(32)).cast("int"))
+        .groupBy("partition_id")
+        .agg(
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_s5_snapshot_chunks(spark, sf_dir):
+    """S5: full-sync pagination — numeric-PK BETWEEN range chunking
+    (LimitOptimize). Ref: /root/reference/server/history/select.go:251-305."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.withColumn("chunk_id", F.floor(F.col("o_orderkey") / 500).cast("long"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("pk_lo"),
+            F.max("o_orderkey").alias("pk_hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# analytics (engine breadth: agg, multi-join, broadcast)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped agg: whole-stage-codegen hash aggregation with exact
+    decimal sums (deterministic under any partitioning)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))).cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    """Shuffle-join pipeline: customer ⋈ orders ⋈ lineitem, revenue top-10
+    with a deterministic tie-break."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Broadcast dimension join: nation/region are tiny → broadcast, no
+    shuffle of the fact side on the dim key."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id per group."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """N-gram/token-set Jaccard near-dup pairs within a blocking key (lang).
+    The blocked self-join is the scalable shape: candidates come from a
+    cheap equality key, full O(n²) never materializes globally."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over embeddings (query subset ×
+    all corpus). Vector math via zip_with/aggregate — JVM-side, no Python."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    sim = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm stats (vectorized array math)."""
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting per doc, aggregated per lang (whitespace tokenizer)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select("lang", F.size(toks).alias("n_tokens"), F.length("text").alias("n_chars2"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_chars2").alias("total_chars"),
+        )
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length + distinct-token
+    ratio → filterable quality columns per doc."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.round(sw.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(uniq.cast("double") / n, 6).alias("distinct_ratio"),
+        F.round(F.length("text").cast("double") / n, 6).alias("mean_tok_len"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: marker-token voting (deterministic rule),
+    the shape of an n-gram langid over a corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    score_data = F.size(F.filter(toks, lambda t: t.isin("data", "table", "row", "column")))
+    score_flow = F.size(F.filter(toks, lambda t: t.isin("stream", "batch", "window", "merge")))
+    pred = F.when(score_data > score_flow, F.lit("datalike")).when(
+        score_flow > score_data, F.lit("flowlike")
+    ).otherwise(F.lit("mixed"))
+    return docs.select("doc_id", "lang", pred.alias("pred_class"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: normalized-content digest + length bucket."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: full engine replay, LSH internals)
+# --------------------------------------------------------------------------
+
+def q_cdc_replay_e2e(spark, sf_dir):
+    """The engine itself: generate a deterministic CDC stream (inserts,
+    updates, deletes, PK-changing updates, DDL), bootstrap a snapshot, replay
+    chunk-by-chunk through LWW+MERGE with manifests, return the final table
+    state. Correctness vs the sequential oracle is asserted in pytest
+    (tests/test_replay_e2e.py); here the driver checks stable schema/rows."""
+    import shutil
+    import tempfile
+
+    from bifrost_spark.generator import GeneratorConfig, generate_events, generate_snapshot, write_event_log
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import replay_event_log
+
+    cfg = GeneratorConfig(
+        n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
+        ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
+    )
+    work = tempfile.mkdtemp(prefix="bifrost_entry_")
+    try:
+        log = os.path.join(work, "log")
+        write_event_log(generate_events(spark, cfg), log, n_chunks=4)
+        table = TargetTable.create(spark, os.path.join(work, "tbl"), n_buckets=8)
+        table.bootstrap(generate_snapshot(spark, cfg))
+        replay_event_log(spark, log, table)
+        out = table.read().drop("bucket").select(
+            "repo", "path", "commit", "lang", F.sha2(F.col("content"), 256).alias("content_sha"), "last_event_id"
+        )
+        out = out.persist()
+        out.count()  # materialize before the workdir is removed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates (scale path for Jaccard):
+    shingle → k minhashes → band buckets → candidate pairs within buckets."""
+    from bifrost_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprints + hamming-band grouping."""
+    from bifrost_spark.functions.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "m1_lww_latest_state": q_m1_lww_latest_state,
+        "m2_lww_final_no_deletes": q_m2_lww_final_no_deletes,
+        "m3_append_changelog": q_m3_append_changelog,
+        "m7_commit_batches": q_m7_commit_batches,
+        "f2_event_type_filter": q_f2_event_type_filter,
+        "f6_wildcard_route": q_f6_wildcard_route,
+        "f9_stale_skip": q_f9_stale_skip,
+        "f11_noop_suppression": q_f11_noop_suppression,
+        "f13_split_rows": q_f13_split_rows,
+        "f14_template_projection": q_f14_template_projection,
+        "a1_flow_counters": q_a1_flow_counters,
+        "a2_table_counts": q_a2_table_counts,
+        "a3_min_position": q_a3_min_position,
+        "c1_manifest_ranges": q_c1_manifest_ranges,
+        "s5_snapshot_chunks": q_s5_snapshot_chunks,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q_broadcast_dim_join": q_broadcast_dim_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "emb_norm_stats": q_emb_norm_stats,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "cdc_replay_e2e": q_cdc_replay_e2e,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "m1_lww_latest_state": """
+            SELECT user_id,
+                   arg_max(event_type, event_id) AS last_event_type,
+                   round(arg_max(value, event_id), 4) AS last_value,
+                   max(event_id) AS last_event_id,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "m2_lww_final_no_deletes": """
+            SELECT user_id, last_event_type, last_event_id FROM (
+                SELECT user_id,
+                       arg_max(event_type, event_id) AS last_event_type,
+                       max(event_id) AS last_event_id
+                FROM events GROUP BY user_id
+            ) WHERE last_event_type <> 'error'
+        """,
+        "m3_append_changelog": """
+            SELECT event_id, user_id, event_type AS binlog_event_type,
+                   date_trunc('second', ts) AS binlog_datetime,
+                   round(value, 4) AS value
+            FROM events
+        """,
+        "m7_commit_batches": """
+            SELECT CAST(floor(event_id / 500) AS BIGINT) AS batch_num,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   max(event_id) AS commit_event_id
+            FROM events GROUP BY 1
+        """,
+        "f2_event_type_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        """,
+        "f6_wildcard_route": """
+            SELECT route, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM (
+                SELECT user_id,
+                       CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 'web_sink'
+                            WHEN regexp_matches(event_type, '^(purchase|signup)$') THEN 'biz_sink'
+                            ELSE 'dead_letter' END AS route
+                FROM events
+            ) GROUP BY route
+        """,
+        "f9_stale_skip": """
+            SELECT event_type, count(*) AS n_events, min(event_id) AS min_event_id
+            FROM events WHERE event_id > 1000 GROUP BY event_type
+        """,
+        "f11_noop_suppression": """
+            SELECT user_id, count(*) AS n_changed FROM (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+                FROM events
+            ) WHERE prev_type IS NULL OR prev_type <> event_type
+            GROUP BY user_id
+        """,
+        "f13_split_rows": """
+            SELECT event_id, user_id, CAST(row_no - 1 AS INT) AS row_idx, CAST(row_no AS INT) AS row_no
+            FROM (
+                SELECT event_id, user_id,
+                       unnest(generate_series(1, CAST(user_id % 3 + 1 AS BIGINT))) AS row_no
+                FROM events WHERE event_id < 2000
+            )
+        """,
+        "f14_template_projection": """
+            SELECT event_id,
+                   'events-' || CAST(user_id AS VARCHAR) || '/' || event_type || '@' || CAST(event_id AS VARCHAR) AS sink_key,
+                   json_extract_string(props, '$.k') AS json_k
+            FROM events
+        """,
+        "a1_flow_counters": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "a2_table_counts": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "a3_min_position": """
+            SELECT min(sink_pos) AS ack_event_id, count(*) AS n_sinks FROM (
+                SELECT event_type, max(event_id) AS sink_pos FROM events GROUP BY event_type
+            )
+        """,
+        "c1_manifest_ranges": """
+            SELECT CAST(event_id % 32 AS INT) AS partition_id,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "s5_snapshot_chunks": """
+            SELECT CAST(floor(o_orderkey / 500) AS BIGINT) AS chunk_id,
+                   count(*) AS n_rows,
+                   min(o_orderkey) AS pk_lo,
+                   max(o_orderkey) AS pk_hi
+            FROM orders GROUP BY 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q_broadcast_dim_join": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7
+        """,
+        "sim_topk_cosine": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+            ), pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(q.qv, e.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+                FROM q JOIN e ON q.query_id <> e.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "emb_norm_stats": """
+            SELECT label, count(*) AS n,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM (
+                SELECT label,
+                       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            ) GROUP BY label
+        """,
+        "text_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   max(n_tokens) AS max_tokens,
+                   sum(n_chars2) AS total_chars
+            FROM (
+                SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                       CAST(length(text) AS INT) AS n_chars2
+                FROM documents
+            ) GROUP BY lang
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round(CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+                   round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS mean_tok_len
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200)
+        """,
+        "text_langid": """
+            SELECT doc_id, lang,
+                   CASE WHEN sd > sf THEN 'datalike' WHEN sf > sd THEN 'flowlike' ELSE 'mixed' END AS pred_class
+            FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split(text, ' '), t -> t IN ('data','table','row','column'))) AS sd,
+                       len(list_filter(string_split(text, ' '), t -> t IN ('stream','batch','window','merge'))) AS sf
+                FROM documents
+            )
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint,
+                   CAST(floor(length(lower(regexp_replace(text, ' +', ' ', 'g'))) / 100) AS BIGINT) AS len_bucket
+            FROM documents
+        """,
+        # cdc_replay_e2e / dedup_minhash_lsh / dedup_simhash: intentionally
+        # no SQL oracle (full engine replay & hash-internal ops) → rows-only.
+    }

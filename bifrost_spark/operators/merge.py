@@ -23,8 +23,18 @@ protocol gives the same guarantees a MERGE INTO an Iceberg table would:
   (/root/reference/server/to_server_consume.go:133-160,
   /root/reference/server/storage.go:52-128), strengthened from
   at-least-once+idempotent-sink to exactly-once.
-- **MERGE guard**: a source op only lands if ``src.event_id >
-  tgt.last_event_id`` — safe under overlapping replays (SURVEY.md §7).
+- **MERGE guard + tombstones**: a source op only lands if ``src.event_id >
+  tgt.last_event_id`` (safe under overlapping replays, SURVEY.md §7), and
+  deletes are kept as TOMBSTONE rows (``is_deleted=true`` with the delete's
+  event_id) rather than physically removed.  Together these make ``merge``
+  COMMUTATIVE across disjoint batches: applying batch ranges in any order
+  yields the same final state — required because a streaming file source
+  does not guarantee chunk order, and it is what allows concurrent
+  per-bucket appliers on a real cluster.  Without tombstones, a late
+  lower-event_id upsert would resurrect a key whose higher-event_id delete
+  had already been applied and physically dropped.  Tombstones are GC-able
+  at compaction time once the source low-water mark passes their event_id
+  (same discipline as Iceberg positional-delete compaction).
 - **Schema evolution is metadata-only**: the registry rides in the manifest;
   old files are never rewritten on ADD/MODIFY/DROP COLUMN — reads align
   (null-pad / cast / prune) to the current version, like Iceberg schema ids.
@@ -126,10 +136,10 @@ class TargetTable:
         return T.StructType(fields)
 
     def _empty(self) -> DataFrame:
-        s = self._schema().add("bucket", T.IntegerType())
+        s = self._schema().add("is_deleted", T.BooleanType()).add("bucket", T.IntegerType())
         return self.spark.createDataFrame([], s)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, buckets: list[int] | None = None, include_deleted: bool = False) -> DataFrame:
         """Current table state (optionally pruned to a bucket subset).
 
         Buckets written under different snapshots/schema versions are read
@@ -144,16 +154,23 @@ class TargetTable:
             if b in want:
                 by_snap.setdefault(snap, []).append(b)
         if not by_snap:
-            return self._empty()
-        parts: list[DataFrame] = []
-        for snap, bs in sorted(by_snap.items()):
-            df = self.spark.read.parquet(os.path.join(self.path, "data", snap))
-            df = df.filter(F.col("bucket").isin([int(x) for x in bs]))
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        aligned = self.registry.align(out, self.state["schema_version"], base_cols=[*BASE_COLS, "bucket"])
+            out = self._empty()
+        else:
+            parts: list[DataFrame] = []
+            for snap, bs in sorted(by_snap.items()):
+                df = self.spark.read.parquet(os.path.join(self.path, "data", snap))
+                df = df.filter(F.col("bucket").isin([int(x) for x in bs]))
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            if "is_deleted" not in out.columns:
+                out = out.withColumn("is_deleted", F.lit(False))
+        aligned = self.registry.align(
+            out, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"]
+        )
+        if not include_deleted:
+            aligned = aligned.filter(~F.col("is_deleted")).drop("is_deleted")
         return aligned
 
     def to_pandas_sorted(self):
@@ -173,8 +190,8 @@ class TargetTable:
             return {"skipped": True, "batch_id": batch_id}
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
-        df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets))
-        df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "bucket"])
+        df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets)).withColumn("is_deleted", F.lit(False))
+        df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"])
         df.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         written = self._buckets_in(out_dir)
         st = dict(self.state)
@@ -239,23 +256,33 @@ class TargetTable:
             src.unpersist()
             return self._commit_noop(batch_id, batch_range)
 
-        tgt = self.read(buckets=affected)
+        tgt = self.read(buckets=affected, include_deleted=True)
         joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
-        newer = F.col("s.src_event_id") > F.coalesce(F.col("t.last_event_id"), F.lit(-1))
-        take_src = F.col("s.op").isNotNull() & newer & (F.col("s.op") == "upsert")
-        keep_tgt = F.col("t.last_event_id").isNotNull() & ~(F.col("s.op").isNotNull() & newer & (F.col("s.op") == "delete")) & ~take_src
+        # use_src: the source op wins iff it is strictly newer (tgt absent ⇒
+        # newer).  Deletes become tombstones, never row removal — this makes
+        # merge commutative across disjoint batches (see module docstring).
+        use_src = F.col("s.op").isNotNull() & (
+            F.col("s.src_event_id") > F.coalesce(F.col("t.last_event_id"), F.lit(-1))
+        )
+        src_is_del = use_src & (F.col("s.op") == "delete")
 
         def pick(col: str):
-            s = F.col(f"s.{col}") if col in ("commit", "lang", "content", *extras) else None
-            t_ = F.col(f"t.{col}")
-            return F.when(take_src, s).otherwise(t_).alias(col)
+            return (
+                F.when(src_is_del, F.lit(None))
+                .when(use_src, F.col(f"s.{col}"))
+                .otherwise(F.col(f"t.{col}"))
+                .alias(col)
+            )
 
-        out = joined.filter(take_src | keep_tgt).select(
+        out = joined.select(
             *PK_COLUMNS,
             pick("commit"),
             pick("lang"),
             pick("content"),
-            F.when(take_src, F.col("s.src_event_id")).otherwise(F.col("t.last_event_id")).alias("last_event_id"),
+            F.when(use_src, F.col("s.src_event_id")).otherwise(F.col("t.last_event_id")).alias("last_event_id"),
+            F.when(use_src, F.col("s.op") == "delete")
+            .otherwise(F.coalesce(F.col("t.is_deleted"), F.lit(False)))
+            .alias("is_deleted"),
             *[pick(c) for c in extras],
             F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
         )

@@ -27,9 +27,16 @@ from bifrost_spark.operators.merge import TargetTable
 
 
 class ReplayEngine:
-    def __init__(self, table: TargetTable, lww_strategy: str = "agg"):
+    def __init__(self, table: TargetTable, lww_strategy: str = "agg", ordered: bool = True):
+        # ordered=True: batches arrive in global event_id order (the chunked
+        # replay driver sorts chunks) → the F9 stale-event skip below is safe
+        # and makes re-delivered prefixes true no-ops.  ordered=False (e.g. a
+        # streaming file source, which does NOT guarantee file order):
+        # correctness falls back to manifests + the commutative
+        # tombstone/guard merge; no high-water-mark skipping.
         self.table = table
         self.lww_strategy = lww_strategy
+        self.ordered = ordered
 
     def apply_batch(self, events: DataFrame) -> list[dict]:
         """Apply one micro-batch: split at DDL barriers, then per segment
@@ -60,6 +67,14 @@ class ReplayEngine:
             events.unpersist()
 
     def _merge_segment(self, seg: DataFrame) -> list[dict]:
+        if self.ordered:
+            # F9 stale-event skip (reference: channel_consume.go:300-314): a
+            # redelivered batch — even one sliced differently than the
+            # original (checkpoint wipe, changed trigger size) — contributes
+            # nothing below the committed high-water mark, so replays are
+            # true no-ops rather than guard-protected rewrites.  Only valid
+            # under ordered delivery.
+            seg = seg.filter(F.col("event_id") > F.lit(self.table.last_event_id))
         r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"), F.count("*").alias("n")).collect()[0]
         if r["n"] == 0:
             return []
@@ -77,12 +92,13 @@ def replay_event_log(
     lww_strategy: str = "agg",
     start_chunk: int = 0,
     end_chunk: int | None = None,
+    ordered: bool = True,
 ) -> list[dict]:
     """Chunked batch replay of a ``write_event_log`` directory in order —
     the micro-batch emulation driver (SURVEY.md §7 step 3).  ``start_chunk``
     lets a killed run resume; re-running committed chunks is a no-op via
     manifests (exactly-once)."""
-    engine = ReplayEngine(table, lww_strategy)
+    engine = ReplayEngine(table, lww_strategy, ordered=ordered)
     chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
     results: list[dict] = []
     for chunk in chunks[start_chunk:end_chunk]:

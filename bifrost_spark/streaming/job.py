@@ -11,6 +11,14 @@ manifest makes the SINK exactly-once even if the checkpoint is wiped —
 On a real deployment the source line changes to
 ``spark.readStream.format("kafka")`` + the format decoders in
 bifrost_spark/sources/kafka_formats.py; everything downstream is identical.
+
+Ordering: the file source does NOT guarantee event-log chunk order, so the
+engine runs with ``ordered=False`` — correctness comes from the commutative
+tombstone/guard MERGE + manifests, not from a high-water-mark skip.  DML is
+safe in any batch order; DDL events are assumed in-order relative to the DML
+they affect (a Kafka source with a single control partition, or the chunked
+batch driver, provides this; it is the same assumption the reference makes
+by serializing DDL through its single dump thread).
 """
 
 from __future__ import annotations
@@ -31,8 +39,9 @@ def start_cdc_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     lww_strategy: str = "agg",
+    ordered: bool = False,
 ) -> StreamingQuery:
-    engine = ReplayEngine(table, lww_strategy)
+    engine = ReplayEngine(table, lww_strategy, ordered=ordered)
     events = (
         spark.readStream.schema(EVENT_SCHEMA.add("chunk", "string"))
         .option("maxFilesPerTrigger", max_files_per_trigger)

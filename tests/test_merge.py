@@ -150,3 +150,42 @@ def test_reopen_from_disk(spark, tmp_path):
     t2 = TargetTable(spark, p)
     assert _state(t2)[("r", "a")]["content"] == "v1"
     assert "b1" in t2.applied_batch_ids
+
+
+def test_out_of_order_batches_commute(spark, tmp_path):
+    """Tombstoned deletes + event_id guard make merge commutative across
+    disjoint batches: applying (later, earlier) equals (earlier, later)."""
+    early = [("r", "a", "upsert", "c1", "py", "v1", None, 10),
+             ("r", "b", "upsert", "c2", "go", "b1", None, 12),
+             ("r", "c", "upsert", "c3", "rs", "c1", None, 14)]
+    late = [("r", "a", "delete", None, None, None, None, 20),   # delete after upsert
+            ("r", "b", "upsert", "c4", "go", "b2", None, 22)]
+
+    def run(order):
+        t = TargetTable.create(spark, str(tmp_path / f"t_{order}"), n_buckets=4)
+        batches = [("early", early, (10, 14)), ("late", late, (20, 22))]
+        if order == "reversed":
+            batches = batches[::-1]
+        for bid, rows, rng in batches:
+            t.merge(_resolved(spark, rows), batch_id=bid, batch_range=rng)
+        return _state(t)
+
+    s1, s2 = run("forward"), run("reversed")
+    assert set(s1) == set(s2) == {("r", "b"), ("r", "c")}  # 'a' stays deleted
+    for k in s1:
+        assert s1[k]["content"] == s2[k]["content"]
+        assert s1[k]["last_event_id"] == s2[k]["last_event_id"]
+    assert s1[("r", "b")]["content"] == "b2"
+
+
+def test_tombstone_blocks_late_upsert(spark, tmp_path):
+    """A key deleted at event 20 must NOT be resurrected by a late-arriving
+    upsert with event_id 10 (the failure mode physical deletes would have)."""
+    t = TargetTable.create(spark, str(tmp_path / "t_tomb"), n_buckets=4)
+    t.merge(_resolved(spark, [("r", "a", "delete", None, None, None, None, 20)]),
+            batch_id="del", batch_range=(20, 20))
+    t.merge(_resolved(spark, [("r", "a", "upsert", "c1", "py", "OLD", None, 10)]),
+            batch_id="late", batch_range=(10, 10))
+    assert t.read().count() == 0
+    tomb = t.read(include_deleted=True).collect()
+    assert len(tomb) == 1 and tomb[0]["is_deleted"] and tomb[0]["last_event_id"] == 20

@@ -1,0 +1,46 @@
+"""Structured Streaming wrapper (SURVEY.md §7 step 4): file-stream replay
+reaches the same final state as batch replay; checkpoint wipe + rerun stays
+exactly-once thanks to the TargetTable manifest."""
+
+from bifrost_spark.generator import GeneratorConfig, generate_events, generate_snapshot, write_event_log
+from bifrost_spark.operators.merge import TargetTable
+from bifrost_spark.oracle import content_sha_map, sequential_apply
+from bifrost_spark.streaming.job import start_cdc_stream
+
+CFG = GeneratorConfig(
+    n_events=2500, n_keys=250, n_repos=20, seed=31, snapshot_keys=100,
+    ddl=[(1200, "ALTER TABLE code.repos ADD COLUMN stars INT")],
+)
+
+
+def test_streaming_replay_and_checkpoint_wipe(spark, tmp_path):
+    events = generate_events(spark, CFG)
+    snap = generate_snapshot(spark, CFG)
+    log = str(tmp_path / "log")
+    write_event_log(events, log, n_chunks=5)
+    expected = sequential_apply(events.toPandas(), snap.toPandas())
+
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(snap)
+    q = start_cdc_stream(spark, log, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(300)
+
+    table = TargetTable(spark, table.path)
+    actual = table.to_pandas_sorted()
+    assert content_sha_map(actual) == content_sha_map(expected)
+    n_applied = len(table.state["applied"])
+
+    # wipe the checkpoint → Spark replays ALL files with the SAME slicing:
+    # every batch_id repeats → manifest skips, zero new commits
+    q2 = start_cdc_stream(spark, log, table, str(tmp_path / "ckpt2"), max_files_per_trigger=2)
+    q2.awaitTermination(300)
+    table = TargetTable(spark, table.path)
+    assert content_sha_map(table.to_pandas_sorted()) == content_sha_map(expected)
+    assert len(table.state["applied"]) == n_applied  # zero new commits
+
+    # replay again with DIFFERENT slicing (batch_ids differ → re-merge):
+    # the commutative tombstone/guard merge keeps the state identical
+    q3 = start_cdc_stream(spark, log, table, str(tmp_path / "ckpt3"), max_files_per_trigger=3)
+    q3.awaitTermination(300)
+    table = TargetTable(spark, table.path)
+    assert content_sha_map(table.to_pandas_sorted()) == content_sha_map(expected)

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, compare
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(rows: list[dict], cols: list[str]) -> str:
+    cols = sorted(cols)
+    lines = sorted("|".join(norm_cell(r[c]) for c in cols) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from bifrost_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows) [no oracle]")
+            if len(srows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = [dict(zip(dcols, row)) for row in cur.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            hs, hd = value_hash(srows, scols), value_hash(drows, dcols)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                sset = {tuple(norm_cell(r[c]) for c in sorted(scols)) for r in srows}
+                dset = {tuple(norm_cell(r[c]) for c in sorted(dcols)) for r in drows}
+                diff_s = list(sset - dset)[:3]
+                diff_d = list(dset - sset)[:3]
+                problems.append(f"spark-only={diff_s} duck-only={diff_d}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)[:500]}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows match")
+
+    print(f"\n{len(failures)} failures / {len(qs) if not only else len(only)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
