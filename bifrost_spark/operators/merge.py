@@ -257,7 +257,7 @@ class TargetTable:
             return self._commit_noop(batch_id, batch_range)
 
         tgt = self.read(buckets=affected, include_deleted=True)
-        joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
+
         # use_src: the source op wins iff it is strictly newer (tgt absent ⇒
         # newer).  Deletes become tombstones, never row removal — this makes
         # merge commutative across disjoint batches (see module docstring).
@@ -274,27 +274,62 @@ class TargetTable:
                 .alias(col)
             )
 
-        out = joined.select(
-            *PK_COLUMNS,
-            pick("commit"),
-            pick("lang"),
-            pick("content"),
-            F.when(use_src, F.col("s.src_event_id")).otherwise(F.col("t.last_event_id")).alias("last_event_id"),
-            F.when(use_src, F.col("s.op") == "delete")
-            .otherwise(F.coalesce(F.col("t.is_deleted"), F.lit(False)))
-            .alias("is_deleted"),
-            *[pick(c) for c in extras],
-            F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
-        )
+        def merged_select(joined: DataFrame) -> DataFrame:
+            return joined.select(
+                *PK_COLUMNS,
+                pick("commit"),
+                pick("lang"),
+                pick("content"),
+                F.when(use_src, F.col("s.src_event_id")).otherwise(F.col("t.last_event_id")).alias("last_event_id"),
+                F.when(use_src, F.col("s.op") == "delete")
+                .otherwise(F.coalesce(F.col("t.is_deleted"), F.lit(False)))
+                .alias("is_deleted"),
+                *[pick(c) for c in extras],
+                F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
+            )
 
+        n_ops = int(sum(r["rows_in"] for r in mrows))
+        bcast_rows = int(os.environ.get("BIFROST_BROADCAST_MERGE_ROWS", "300000"))
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
-        (
-            out.repartition(max(len(affected), 1), "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+
+        if n_ops <= bcast_rows:
+            # Broadcast-decomposed MERGE (batch ≪ table, the steady-state
+            # shape at 100 TB): full outer join cannot broadcast, so split it
+            #   1. tgt LEFT OUTER broadcast(src): updates/deletes/keeps —
+            #      the target STREAMS through, zero shuffle, and each task
+            #      keeps its on-disk bucket alignment so the partitioned
+            #      write needs no repartition (≤1 file per input split).
+            #   2. inserts = src ANTI (matched keys), where matched keys come
+            #      from a column-pruned key-only scan of tgt (reads just the
+            #      PK columns from parquet) semi-joined against broadcast
+            #      src keys — again no shuffle.
+            joined = tgt.alias("t").join(F.broadcast(src).alias("s"), on=PK_COLUMNS, how="left_outer")
+            out_upd = merged_select(joined)
+            src_keys = src.select(*PK_COLUMNS)
+            matched = tgt.select(*PK_COLUMNS).join(F.broadcast(src_keys), on=PK_COLUMNS, how="left_semi")
+            inserts = src.join(F.broadcast(matched), on=PK_COLUMNS, how="left_anti")
+            out_ins = inserts.select(
+                *PK_COLUMNS,
+                *[F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col(c)).alias(c)
+                  for c in ("commit", "lang", "content")],
+                F.col("src_event_id").alias("last_event_id"),
+                (F.col("op") == "delete").alias("is_deleted"),
+                *[F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col(c)).alias(c) for c in extras],
+                F.col("bucket"),
+            )
+            out = out_upd.unionByName(out_ins)
+            out.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        else:
+            # Large batch: shuffle-based full outer merge; AQE handles skew.
+            joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
+            out = merged_select(joined)
+            (
+                out.repartition(max(len(affected), 1), "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
         src.unpersist()
         written = set(self._buckets_in(out_dir))
         wall_ms = (time.time() - t0) * 1000
