@@ -263,17 +263,23 @@ def generate_snapshot(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
     return df.select(p.alias("p")).select("p.*").drop("extra").withColumn("last_event_id", F.lit(0).cast("long"))
 
 
-def write_event_log(df: DataFrame, path: str, n_chunks: int = 16) -> None:
+def write_event_log(df: DataFrame, path: str, n_chunks: int = 16, files_per_chunk: int = 8) -> None:
     """Materialize the event log as `chunk=NNNN/` parquet dirs, chunked by
     event_id range — the replayable 'binlog'. Chunk = micro-batch unit for
-    both the batch replay driver and the file-stream source."""
-    lo, hi = 0, None
+    both the batch replay driver and the file-stream source.
+
+    ``files_per_chunk`` splits each chunk across several parquet files so a
+    replay scans it with that many parallel tasks from the first stage — a
+    chunk written as one file would serialize the scan+LWW map side behind a
+    single task, exactly like a real CDC batch arriving over one Kafka
+    partition instead of many.
+    """
     stats = df.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).collect()[0]
     lo, hi = stats["lo"], stats["hi"]
     span = max(1, (hi - lo + n_chunks) // n_chunks)
     (
         df.withColumn("chunk", F.lpad(((F.col("event_id") - lo) / span).cast("int").cast("string"), 4, "0"))
-        .repartition(n_chunks, "chunk")
+        .repartition(n_chunks * files_per_chunk, "chunk", F.pmod(F.col("event_id"), F.lit(files_per_chunk)))
         .sortWithinPartitions("event_id")
         .write.partitionBy("chunk")
         .mode("overwrite")

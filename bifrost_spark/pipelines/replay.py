@@ -41,19 +41,45 @@ class ReplayEngine:
     def apply_batch(self, events: DataFrame) -> list[dict]:
         """Apply one micro-batch: split at DDL barriers, then per segment
         resolve-LWW + MERGE; DDLs commit as metadata-only snapshots in
-        event_id order."""
+        event_id order.
+
+        Driver-job economy (this matters for scaling efficiency — each
+        driver-synchronized Spark job carries fixed scheduling latency that
+        extra cores cannot reduce): ONE column-pruned aggregation job yields
+        everything the planner needs — the DDL list (always a handful, per
+        the reference's DDL frequency), the live-event count, and the
+        event_id range with the stale-skip high-water mark already applied.
+        The common no-DDL batch then runs exactly one more job pair
+        (metrics + merge-write) inside ``TargetTable.merge``.
+        """
+        lwm = self.table.last_event_id if self.ordered else -1
+        is_data = F.col("event_type").isin("insert", "update", "delete")
+        live = is_data & (F.col("event_id") > F.lit(lwm))
+        stats = events.agg(
+            F.count(F.when(live, 1)).alias("n"),
+            F.min(F.when(live, F.col("event_id"))).alias("lo"),
+            F.max(F.when(live, F.col("event_id"))).alias("hi"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
+            ).alias("ddls"),
+        ).collect()[0]
+        ddls = list(stats["ddls"])
+
+        if not ddls:
+            return self._merge_segment(
+                events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"]
+            )
+
+        # DDL barrier path: segment the batch so a merge never mixes two
+        # schema versions of one table.  DDLs are rare; the per-segment agg
+        # is acceptable here and events are cached across segments.
         events = events.persist()
         try:
-            ddls = sorted(
-                events.filter(F.col("event_type") == "ddl").select("event_id", "query").collect(),
-                key=lambda r: r["event_id"],
-            )
             results: list[dict] = []
             bounds = [-1] + [r["event_id"] for r in ddls] + [None]
             for i in range(len(bounds) - 1):
                 lo, hi = bounds[i], bounds[i + 1]
-                seg = events.filter(F.col("event_type").isin("insert", "update", "delete"))
-                seg = seg.filter(F.col("event_id") > lo)
+                seg = events.filter(live).filter(F.col("event_id") > lo)
                 if hi is not None:
                     seg = seg.filter(F.col("event_id") < hi)
                 results.extend(self._merge_segment(seg))
@@ -66,23 +92,26 @@ class ReplayEngine:
         finally:
             events.unpersist()
 
-    def _merge_segment(self, seg: DataFrame) -> list[dict]:
-        if self.ordered:
-            # F9 stale-event skip (reference: channel_consume.go:300-314): a
-            # redelivered batch — even one sliced differently than the
-            # original (checkpoint wipe, changed trigger size) — contributes
-            # nothing below the committed high-water mark, so replays are
-            # true no-ops rather than guard-protected rewrites.  Only valid
-            # under ordered delivery.
-            seg = seg.filter(F.col("event_id") > F.lit(self.table.last_event_id))
-        r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"), F.count("*").alias("n")).collect()[0]
-        if r["n"] == 0:
+    def _merge_segment(self, seg: DataFrame, n: int | None = None,
+                       lo: int | None = None, hi: int | None = None) -> list[dict]:
+        # F9 stale-event skip (reference: channel_consume.go:300-314): a
+        # redelivered batch — even one sliced differently than the original
+        # (checkpoint wipe, changed trigger size) — contributes nothing below
+        # the committed high-water mark, so replays are true no-ops rather
+        # than guard-protected rewrites.  Only valid under ordered delivery;
+        # apply_batch bakes the filter into ``live`` for the fast path.
+        if n is None:
+            if self.ordered:
+                seg = seg.filter(F.col("event_id") > F.lit(self.table.last_event_id))
+            r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"), F.count("*").alias("n")).collect()[0]
+            n, lo, hi = r["n"], r["lo"], r["hi"]
+        if n == 0:
             return []
-        batch_id = f"merge:{r['lo']}-{r['hi']}"
+        batch_id = f"merge:{lo}-{hi}"
         if batch_id in self.table.applied_batch_ids:
             return [{"skipped": True, "batch_id": batch_id}]
         resolved = resolve_lww(events_to_ops(seg), strategy=self.lww_strategy)
-        return [self.table.merge(resolved, batch_id=batch_id, batch_range=(r["lo"], r["hi"]))]
+        return [self.table.merge(resolved, batch_id=batch_id, batch_range=(lo, hi))]
 
 
 def replay_event_log(

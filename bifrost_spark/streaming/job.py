@@ -24,6 +24,7 @@ by serializing DDL through its single dump thread).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from bifrost_spark.operators.merge import TargetTable
@@ -42,8 +43,11 @@ def start_cdc_stream(
     ordered: bool = False,
 ) -> StreamingQuery:
     engine = ReplayEngine(table, lww_strategy, ordered=ordered)
+    # NB: StructType.add mutates in place — build a copy, never touch the
+    # shared EVENT_SCHEMA.
+    stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])
     events = (
-        spark.readStream.schema(EVENT_SCHEMA.add("chunk", "string"))
+        spark.readStream.schema(stream_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(log_path)
         .drop("chunk")
