@@ -210,6 +210,23 @@ class TargetTable:
             int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("bucket=")
         )
 
+    def _bucket_bytes(self, buckets: list[int]) -> int:
+        """On-disk bytes of the given buckets' current data files — driver-side
+        metadata only (the bucket→snapshot map names each directory)."""
+        bmap: dict[str, str] = self.state["buckets"]
+        total = 0
+        for b in buckets:
+            snap = bmap.get(str(b))
+            if snap is None:
+                continue
+            d = os.path.join(self.path, "data", snap, f"bucket={b}")
+            try:
+                with os.scandir(d) as it:
+                    total += sum(e.stat().st_size for e in it if e.is_file())
+            except FileNotFoundError:
+                pass
+        return total
+
     def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
               schema_version: int | None = None) -> dict:
         """MERGE the LWW-resolved ops (one terminal op per PK) into the table.
@@ -290,10 +307,21 @@ class TargetTable:
 
         n_ops = int(sum(r["rows_in"] for r in mrows))
         bcast_rows = int(os.environ.get("BIFROST_BROADCAST_MERGE_ROWS", "300000"))
+        # Path choice is cost-based, not row-count-based: the broadcast
+        # decomposition only wins when the affected target data is much
+        # larger than the batch (the steady-state shape at 100 TB, where it
+        # avoids shuffling the rewritten buckets).  When the table is
+        # comparable to the batch — bootstrap-adjacent merges, small tables —
+        # its three broadcast-relation builds cost more than simply
+        # shuffling both small sides.  Affected-target bytes come free from
+        # the bucket file map; batch bytes are estimated per resolved op.
+        tgt_bytes = self._bucket_bytes(affected)
+        src_bytes_est = n_ops * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
+        bcast_ratio = float(os.environ.get("BIFROST_BCAST_TGT_RATIO", "4"))
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
 
-        if n_ops <= bcast_rows:
+        if n_ops <= bcast_rows and tgt_bytes > bcast_ratio * src_bytes_est:
             # Broadcast-decomposed MERGE (batch ≪ table, the steady-state
             # shape at 100 TB): full outer join cannot broadcast, so split it
             #   1. tgt LEFT OUTER broadcast(src): updates/deletes/keeps —
@@ -321,7 +349,11 @@ class TargetTable:
             out = out_upd.unionByName(out_ins)
             out.write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         else:
-            # Large batch: shuffle-based full outer merge; AQE handles skew.
+            # Comparable-size (or very large batch) merge: shuffle-based full
+            # outer join — both sides exchange once on the PK, AQE handles
+            # skew — then ONE output file per bucket via a bucket-hash
+            # repartition, so the table's file count stays equal to its
+            # bucket count instead of tasks × buckets.
             joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
             out = merged_select(joined)
             (
