@@ -273,14 +273,25 @@ def write_event_log(df: DataFrame, path: str, n_chunks: int = 16, files_per_chun
     chunk written as one file would serialize the scan+LWW map side behind a
     single task, exactly like a real CDC batch arriving over one Kafka
     partition instead of many.
+
+    The intra-chunk file key is ``pmod(event_id DIV 2, files_per_chunk)``:
+    data event_ids are all even (DDL odd), so ``pmod(event_id, N)`` would
+    hit only half the residues and halve the real file count — which halves
+    the replay's scan parallelism (measured: it capped a local[32] scan at a
+    handful of 128MB-packed tasks).
     """
     stats = df.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).collect()[0]
     lo, hi = stats["lo"], stats["hi"]
     span = max(1, (hi - lo + n_chunks) // n_chunks)
     (
         df.withColumn("chunk", F.lpad(((F.col("event_id") - lo) / span).cast("int").cast("string"), 4, "0"))
-        .repartition(n_chunks * files_per_chunk, "chunk", F.pmod(F.col("event_id"), F.lit(files_per_chunk)))
+        .withColumn("_file", F.pmod((F.col("event_id") / 2).cast("long"), F.lit(files_per_chunk)))
+        # range-partition on (chunk, _file): ~1 group per output partition,
+        # so every chunk really gets ~files_per_chunk similar-sized files
+        # (hash repartition would merge ~1/3 of the groups by collision).
+        .repartitionByRange(n_chunks * files_per_chunk, "chunk", "_file")
         .sortWithinPartitions("event_id")
+        .drop("_file")
         .write.partitionBy("chunk")
         .mode("overwrite")
         .parquet(path)

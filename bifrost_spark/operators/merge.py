@@ -157,8 +157,15 @@ class TargetTable:
             out = self._empty()
         else:
             parts: list[DataFrame] = []
+            schemas: dict[str, dict] = self.state.get("schemas", {})
             for snap, bs in sorted(by_snap.items()):
-                df = self.spark.read.parquet(os.path.join(self.path, "data", snap))
+                reader = self.spark.read
+                if snap in schemas:
+                    # the manifest records each snapshot's written schema —
+                    # an explicit .schema() skips the parquet footer
+                    # inference job (one driver job per snapshot per read).
+                    reader = reader.schema(T.StructType.fromJson(schemas[snap]))
+                df = reader.parquet(os.path.join(self.path, "data", snap))
                 df = df.filter(F.col("bucket").isin([int(x) for x in bs]))
                 parts.append(df)
             out = parts[0]
@@ -196,14 +203,32 @@ class TargetTable:
         written = self._buckets_in(out_dir)
         st = dict(self.state)
         st["snapshot"] = snap
+        st["schemas"] = {**st.get("schemas", {}), snap: df.schema.jsonValue()}
         st["buckets"] = {str(b): snap for b in written}
         st["applied"] = st["applied"] + [
             {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0, "n_ops": None, "kind": "bootstrap",
-             "committed_at": time.time(), "metrics": []}
+             "committed_at": time.time()}
         ]
         self._write_snapshot(self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "buckets": len(written)}
+
+    def _append_lineage(self, entry: dict) -> None:
+        with open(os.path.join(self.path, "_state", "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def lineage(self) -> dict[str, dict]:
+        """Per-bucket lineage metrics by batch_id (advisory sidecar;
+        last line wins for a batch_id re-appended during crash replay)."""
+        out: dict[str, dict] = {}
+        try:
+            with open(os.path.join(self.path, "_state", "lineage.jsonl")) as f:
+                for line in f:
+                    e = json.loads(line)
+                    out[e["batch_id"]] = e
+        except FileNotFoundError:
+            pass
+        return out
 
     def _buckets_in(self, out_dir: str) -> list[int]:
         return sorted(
@@ -256,6 +281,7 @@ class TargetTable:
 
         # per-bucket lineage metrics + affected-bucket list in ONE small job
         # over the already-deduped source (≤1 row per key).
+        t_lww = time.time()
         mrows = (
             src.groupBy("bucket")
             .agg(
@@ -269,6 +295,7 @@ class TargetTable:
         )
         affected = sorted(r["bucket"] for r in mrows)
         t0 = time.time()
+        lww_ms = (t0 - t_lww) * 1000
         if not affected:
             src.unpersist()
             return self._commit_noop(batch_id, batch_range)
@@ -375,6 +402,12 @@ class TargetTable:
             else:
                 bmap.pop(str(b), None)  # bucket emptied by deletes
         st["buckets"] = bmap
+        live_snaps = set(bmap.values())
+        st["schemas"] = {
+            s: j
+            for s, j in {**st.get("schemas", {}), snap: out.schema.jsonValue()}.items()
+            if s in live_snaps
+        }
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
         st["applied"] = st["applied"] + [
             {
@@ -384,6 +417,18 @@ class TargetTable:
                 "kind": "merge",
                 "n_ops": int(sum(r["rows_in"] for r in mrows)),
                 "committed_at": time.time(),
+                "wall_ms": wall_ms,
+            }
+        ]
+        # Per-bucket lineage goes to an append-only sidecar, NOT the state
+        # JSON: the state is rewritten on every commit, so embedding
+        # O(buckets) metrics per batch would make each commit O(batches ×
+        # buckets) — unbounded at stream scale.  Lineage is advisory
+        # (keyed by batch_id, last line wins on crash-replay); the atomic
+        # CURRENT swing below remains the only commit point.
+        self._append_lineage(
+            {
+                "batch_id": batch_id,
                 "wall_ms": wall_ms,
                 "metrics": [
                     {
@@ -397,7 +442,7 @@ class TargetTable:
                     for r in mrows
                 ],
             }
-        ]
+        )
         self._write_snapshot(self.path, st)
         self._load_state()
         return {
@@ -405,6 +450,7 @@ class TargetTable:
             "batch_id": batch_id,
             "buckets_rewritten": len(affected),
             "n_ops": int(sum(r["rows_in"] for r in mrows)),
+            "lww_ms": lww_ms,
             "wall_ms": wall_ms,
         }
 
@@ -414,7 +460,7 @@ class TargetTable:
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
         st["applied"] = st["applied"] + [
             {"batch_id": batch_id, "min_event_id": batch_range[0], "max_event_id": batch_range[1],
-             "kind": "noop", "n_ops": 0, "committed_at": time.time(), "metrics": []}
+             "kind": "noop", "n_ops": 0, "committed_at": time.time()}
         ]
         self._write_snapshot(self.path, st)
         self._load_state()
@@ -442,7 +488,7 @@ class TargetTable:
         st["last_event_id"] = max(st["last_event_id"], event_id)
         st["applied"] = st["applied"] + [
             {"batch_id": batch_id, "min_event_id": event_id, "max_event_id": event_id,
-             "kind": "ddl", "query": query, "n_ops": 0, "committed_at": time.time(), "metrics": []}
+             "kind": "ddl", "query": query, "n_ops": 0, "committed_at": time.time()}
         ]
         self._write_snapshot(self.path, st)
         self._load_state()

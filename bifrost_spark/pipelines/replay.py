@@ -18,12 +18,14 @@ stream — while all row data stays distributed.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bifrost_spark.operators.lww import events_to_ops, resolve_lww
 from bifrost_spark.operators.merge import TargetTable
+from bifrost_spark.schemas import EVENT_SCHEMA
 
 
 class ReplayEngine:
@@ -55,6 +57,7 @@ class ReplayEngine:
         lwm = self.table.last_event_id if self.ordered else -1
         is_data = F.col("event_type").isin("insert", "update", "delete")
         live = is_data & (F.col("event_id") > F.lit(lwm))
+        t0 = time.time()
         stats = events.agg(
             F.count(F.when(live, 1)).alias("n"),
             F.min(F.when(live, F.col("event_id"))).alias("lo"),
@@ -64,10 +67,12 @@ class ReplayEngine:
             ).alias("ddls"),
         ).collect()[0]
         ddls = list(stats["ddls"])
+        stats_ms = (time.time() - t0) * 1000
 
         if not ddls:
             return self._merge_segment(
-                events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"]
+                events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"],
+                stats_ms=stats_ms,
             )
 
         # DDL barrier path: segment the batch so a merge never mixes two
@@ -93,7 +98,8 @@ class ReplayEngine:
             events.unpersist()
 
     def _merge_segment(self, seg: DataFrame, n: int | None = None,
-                       lo: int | None = None, hi: int | None = None) -> list[dict]:
+                       lo: int | None = None, hi: int | None = None,
+                       stats_ms: float = 0.0) -> list[dict]:
         # F9 stale-event skip (reference: channel_consume.go:300-314): a
         # redelivered batch — even one sliced differently than the original
         # (checkpoint wipe, changed trigger size) — contributes nothing below
@@ -111,7 +117,9 @@ class ReplayEngine:
         if batch_id in self.table.applied_batch_ids:
             return [{"skipped": True, "batch_id": batch_id}]
         resolved = resolve_lww(events_to_ops(seg), strategy=self.lww_strategy)
-        return [self.table.merge(resolved, batch_id=batch_id, batch_range=(lo, hi))]
+        res = self.table.merge(resolved, batch_id=batch_id, batch_range=(lo, hi))
+        res["stats_ms"] = round(stats_ms, 1)
+        return [res]
 
 
 def replay_event_log(
@@ -131,6 +139,8 @@ def replay_event_log(
     chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
     results: list[dict] = []
     for chunk in chunks[start_chunk:end_chunk]:
-        df = spark.read.parquet(os.path.join(log_path, chunk))
+        # explicit schema: chunk files carry exactly EVENT_SCHEMA, and
+        # skipping footer inference saves one driver job per micro-batch.
+        df = spark.read.schema(EVENT_SCHEMA).parquet(os.path.join(log_path, chunk))
         results.extend(engine.apply_batch(df))
     return results

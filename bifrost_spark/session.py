@@ -35,6 +35,17 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
 
+    # Shuffle/spill scratch space: a real cluster gives every executor its
+    # own local SSD for shuffle files; a single sandbox JVM with 32 task
+    # threads funnels them all through one ext4 mount, and the per-file
+    # create/fsync contention grows with the thread count (measured: it
+    # inverted the local[8]→local[32] scaling).  tmpfs is the faithful
+    # local-mode stand-in for per-executor NVMe.  Respected only if the
+    # user has not already set SPARK_LOCAL_DIRS / spark.local.dir.
+    local_dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dirs and os.path.isdir("/dev/shm"):
+        local_dirs = "/dev/shm/bifrost_spark_local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +61,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

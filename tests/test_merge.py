@@ -134,12 +134,13 @@ def test_manifest_lineage_metrics(spark, table):
                 batch_id="b1", batch_range=(2, 4))
     entry = table.state["applied"][-1]
     assert entry["n_ops"] == 2
+    lineage = table.lineage()["b1"]
     total = {"rows_in": 0, "upserts": 0, "deletes": 0}
-    for m in entry["metrics"]:
+    for m in lineage["metrics"]:
         for k in total:
             total[k] += m[k]
     assert total == {"rows_in": 2, "upserts": 1, "deletes": 1}
-    assert all("wall_ms" in entry for entry in [entry])
+    assert "wall_ms" in entry and "wall_ms" in lineage
 
 
 def test_reopen_from_disk(spark, tmp_path):
