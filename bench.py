@@ -87,7 +87,11 @@ def main() -> None:
     n_events = int(os.environ.get("BENCH_EVENTS", "1000000"))
     n_keys = int(os.environ.get("BENCH_KEYS", str(max(n_events // 10, 1000))))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
-    workdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_cdc")
+    workdir = (
+        "/dev/shm/bifrost_bench_cdc"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_cdc")
+    )
     t0 = time.time()
     cdc = run_cdc_replay(spark, n_events, n_keys, n_chunks, workdir)
     timings["cdc_replay"] = round(time.time() - t0, 3)

@@ -1,0 +1,159 @@
+"""CLI / spark-submit entrypoint for the CDC engine.
+
+The reference is driven by an HTTP admin UI + ini config
+(/root/reference/Bifrost.go, /root/reference/admin/); the Spark rebuild is a
+batch/streaming job driven by arguments, per SURVEY.md §2.6 ("CLI /
+spark-submit entrypoint + config file; no UI").
+
+Local run:          python -m bifrost_spark replay --log L --table T
+Cluster run:        spark-submit --py-files bifrost_spark.zip \
+                        --conf spark.sql.shuffle.partitions=2048 \
+                        tools/submit_entry.py replay --log s3://... --table s3://...
+(`tools/make_pyfiles.sh` builds the zip; submit_entry.py just calls main()).
+
+Subcommands:
+  generate   write a deterministic synthetic event log (+ optional snapshot)
+  bootstrap  create the target table and load the initial snapshot
+  replay     chunked batch replay of an event log (resumable)
+  stream     Structured Streaming replay (checkpointed, availableNow or live)
+  compact    rewrite live buckets, GC tombstones below a low-water mark
+  vacuum     drop orphan snapshot dirs + superseded state files
+  status     print table state (snapshot, buckets, applied batches, schema)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from bifrost_spark.session import get_spark
+
+
+def _add_gen(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-events", type=int, default=100_000)
+    p.add_argument("--n-keys", type=int, default=10_000)
+    p.add_argument("--n-repos", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--snapshot-keys", type=int, default=0)
+    p.add_argument("--ddl", action="append", default=[],
+                   help="DATA_EVENT_INDEX:SQL (repeatable)")
+
+
+def _cfg(args):
+    from bifrost_spark.generator import GeneratorConfig
+
+    ddl = []
+    for spec in args.ddl:
+        idx, sql = spec.split(":", 1)
+        ddl.append((int(idx), sql))
+    return GeneratorConfig(
+        n_events=args.n_events, n_keys=args.n_keys, n_repos=args.n_repos,
+        seed=args.seed, snapshot_keys=args.snapshot_keys, ddl=ddl,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bifrost_spark")
+    ap.add_argument("--master", default=None, help="overrides local[$SPARK_GRAFT_CPUS]")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--chunks", type=int, default=16)
+    g.add_argument("--files-per-chunk", type=int, default=8)
+    _add_gen(g)
+
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--table", required=True)
+    b.add_argument("--n-buckets", type=int, default=32)
+    _add_gen(b)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--start-chunk", type=int, default=0)
+    r.add_argument("--end-chunk", type=int, default=None)
+    r.add_argument("--unordered", action="store_true",
+                   help="disable the high-water-mark stale skip (chunks may arrive out of order)")
+
+    s = sub.add_parser("stream")
+    s.add_argument("--log", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files-per-trigger", type=int, default=1)
+    s.add_argument("--continuous", action="store_true",
+                   help="keep tailing the log instead of draining availableNow")
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--tombstone-lwm", type=int, default=None)
+
+    v = sub.add_parser("vacuum")
+    v.add_argument("--table", required=True)
+
+    st = sub.add_parser("status")
+    st.add_argument("--table", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"bifrost-{args.cmd}", master=args.master)
+    from bifrost_spark.operators.merge import TargetTable
+
+    t0 = time.time()
+    if args.cmd == "generate":
+        from bifrost_spark.generator import generate_events, write_event_log
+
+        write_event_log(generate_events(spark, _cfg(args)), args.out,
+                        n_chunks=args.chunks, files_per_chunk=args.files_per_chunk)
+        out = {"out": args.out, "n_events": args.n_events}
+    elif args.cmd == "bootstrap":
+        from bifrost_spark.generator import generate_snapshot, registry_for
+
+        table = TargetTable.create(spark, args.table, n_buckets=args.n_buckets,
+                                   registry=registry_for(_cfg(args)))
+        out = table.bootstrap(generate_snapshot(spark, _cfg(args)))
+    elif args.cmd == "replay":
+        from bifrost_spark.pipelines.replay import replay_event_log
+
+        table = TargetTable(spark, args.table)
+        results = replay_event_log(spark, args.log, table,
+                                   start_chunk=args.start_chunk, end_chunk=args.end_chunk,
+                                   ordered=not args.unordered)
+        out = {"batches": len(results),
+               "applied": sum(1 for r in results if not r.get("skipped"))}
+    elif args.cmd == "stream":
+        from bifrost_spark.streaming.job import start_cdc_stream
+
+        table = TargetTable(spark, args.table)
+        q = start_cdc_stream(spark, args.log, table, checkpoint_dir=args.checkpoint,
+                             max_files_per_trigger=args.max_files_per_trigger,
+                             available_now=not args.continuous)
+        if args.continuous:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+            q.stop()
+        out = {"stream": "drained" if not args.continuous else "terminated"}
+    elif args.cmd == "compact":
+        out = TargetTable(spark, args.table).compact(args.tombstone_lwm)
+    elif args.cmd == "vacuum":
+        out = TargetTable(spark, args.table).vacuum()
+    else:  # status
+        table = TargetTable(spark, args.table)
+        out = {
+            "snapshot": table.state["snapshot"],
+            "n_buckets": table.n_buckets,
+            "live_buckets": len(table.state["buckets"]),
+            "applied_batches": len(table.state["applied"]),
+            "last_event_id": table.last_event_id,
+            "schema_version": table.state["schema_version"],
+            "rows": table.read().count(),
+        }
+    out["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,8 +16,10 @@ protocol gives the same guarantees a MERGE INTO an Iceberg table would:
   last rewrote it.  Readers see the old state until the pointer moves;
   a crash mid-commit leaves only orphan files (GC-able), never a torn table.
 - **Idempotent commit manifests** (exactly-once, SURVEY.md §4 custom-work 2):
-  the manifest records every applied batch as
-  ``(batch_id, min/max event_id, per-bucket lineage metrics)``.
+  the manifest records every applied batch as ``(batch_id, min/max
+  event_id)``; per-bucket lineage metrics go to an append-only
+  ``_state/lineage.jsonl`` sidecar so the rewritten-every-commit state stays
+  O(batches), not O(batches × buckets).
   ``merge()`` first checks the applied set and no-ops on replay — the Spark
   rebuild of the reference's LastSuccessBinlog-only-on-commit discipline
   (/root/reference/server/to_server_consume.go:133-160,
@@ -384,7 +386,11 @@ class TargetTable:
             joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
             out = merged_select(joined)
             (
-                out.repartition(max(len(affected), 1), "bucket")
+                # range- not hash-partition on bucket: with one partition per
+                # touched bucket, hashing would collide ~1/3 of them (two
+                # buckets in one write task, none in another); range gives
+                # ~1 bucket per task and one output file per bucket.
+                out.repartitionByRange(max(len(affected), 1), "bucket")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(out_dir)
@@ -453,6 +459,71 @@ class TargetTable:
             "lww_ms": lww_ms,
             "wall_ms": wall_ms,
         }
+
+    # ---------------------------------------------------------- maintenance
+    def compact(self, tombstone_low_water_mark: int | None = None) -> dict:
+        """Table maintenance (Iceberg rewrite_data_files + positional-delete
+        compaction, SURVEY.md merge module docstring):
+
+        - rewrites every live bucket into ONE fresh snapshot with one file
+          per bucket (merges the file droppings of many small merges);
+        - physically materializes the current schema version (old snapshots
+          written pre-DDL are null-padded/cast on read; after compaction the
+          files carry the current columns);
+        - GCs tombstone rows whose ``last_event_id`` ≤ the source low-water
+          mark: safe exactly when no replayable batch at-or-below the mark
+          remains, because the tombstone's only job is to block a LATE
+          lower-event_id upsert from resurrecting a deleted key.
+
+        Commit protocol is the same copy-on-write + atomic CURRENT swing as
+        ``merge`` — readers are never torn, and a crash mid-compact leaves
+        only an orphan snapshot dir for ``vacuum``.
+        """
+        lwm = -1 if tombstone_low_water_mark is None else tombstone_low_water_mark
+        cur = self.read(include_deleted=True)
+        keep = cur.filter(~F.col("is_deleted") | (F.col("last_event_id") > F.lit(lwm)))
+        snap = self._next_snapshot()
+        out_dir = os.path.join(self.path, "data", snap)
+        (
+            keep.repartition(self.n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = self._buckets_in(out_dir)
+        st = dict(self.state)
+        st["snapshot"] = snap
+        st["buckets"] = {str(b): snap for b in written}
+        st["schemas"] = {snap: keep.schema.jsonValue()}
+        st["applied"] = st["applied"] + [
+            {"batch_id": f"compact:{snap}", "kind": "compact", "n_ops": 0,
+             "tombstone_lwm": lwm, "committed_at": time.time()}
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {"snapshot": snap, "buckets": len(written)}
+
+    def vacuum(self) -> dict:
+        """Remove snapshot data dirs no longer referenced by any bucket and
+        state files older than CURRENT (orphans from crashes and superseded
+        copy-on-write commits).  Safe with live readers only under the
+        single-writer assumption readers use a loaded-state handle for —
+        like Iceberg's expire_snapshots, callers pick the retention moment."""
+        import shutil
+
+        live = set(self.state["buckets"].values())
+        data = os.path.join(self.path, "data")
+        removed = []
+        for d in os.listdir(data):
+            if d not in live:
+                shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+                removed.append(d)
+        cur = self.state["snapshot"]
+        sdir = os.path.join(self.path, "_state")
+        for f in os.listdir(sdir):
+            if f.endswith(".json") and f != f"{cur}.json":
+                os.unlink(os.path.join(sdir, f))
+        return {"removed_snapshots": sorted(removed)}
 
     def _commit_noop(self, batch_id: str, batch_range: tuple[int, int]) -> dict:
         st = dict(self.state)

@@ -104,6 +104,44 @@ class SchemaRegistry:
                 cols.append(F.lit(None).cast(t).alias(name))
         return df.select(*cols)
 
+    # -- Arrow batch rewrite -------------------------------------------------
+    ARROW_TYPES = {
+        "string": "string", "int": "int32", "bigint": "int64",
+        "double": "float64", "float": "float32", "boolean": "bool",
+        "date": "date32", "timestamp": "timestamp[us]",
+    }
+
+    def align_arrow(self, batch, v: int | None = None):
+        """Rewrite one in-flight ``pyarrow.RecordBatch`` to schema version
+        ``v``: null-pad added columns, drop removed ones, cast changed ones —
+        the Arrow-side twin of ``align`` for code paths that hold raw Arrow
+        batches (mapInArrow decoders, the streaming source's vectorized
+        decode) rather than DataFrames.  Mirrors the reference reloading its
+        column cache at a DDL barrier and decoding subsequent events with
+        the new shape (/root/reference/Bristol/mysql/conn_dump.go:196-203).
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        sv = self.current if v is None else self.version(v)
+        extras = dict(sv.extras)
+        names = []
+        arrays = []
+        for name in batch.schema.names:
+            if name in PAYLOAD_COLUMNS or name.startswith("_") or name in extras:
+                names.append(name)
+                arrays.append(batch.column(name))
+        out_names = [n for n in names if n not in extras]
+        out_arrays = [arrays[names.index(n)] for n in out_names]
+        for name, ltype in sv.extras:
+            at = pa.type_for_alias(self.ARROW_TYPES.get(ltype.lower().split("(")[0], "string"))
+            if name in names:
+                out_arrays.append(pc.cast(arrays[names.index(name)], at))
+            else:
+                out_arrays.append(pa.nulls(batch.num_rows, type=at))
+            out_names.append(name)
+        return pa.RecordBatch.from_arrays(out_arrays, names=out_names)
+
     # -- (de)serialization for snapshot manifests ----------------------------
     def to_dict(self) -> dict:
         return {

@@ -78,3 +78,39 @@ def test_registry_truncate_flag():
     reg = SchemaRegistry()
     v = reg.apply_ddl("TRUNCATE TABLE code.repos")
     assert v.truncated is True
+
+
+def test_align_arrow_rewrites_batches():
+    """Arrow-batch rewrite at a DDL barrier: add → null-pad, change → rename
+    +cast, drop → removed (north-star Arrow-backed registry requirement)."""
+    import pyarrow as pa
+
+    from bifrost_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("ALTER TABLE code.repos ADD COLUMN stars INT")
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(["r1"]), pa.array(["p1"]), pa.array(["c"]), pa.array(["py"]), pa.array(["x"])],
+        names=["repo", "path", "commit", "lang", "content"],
+    )
+    out = reg.align_arrow(b)
+    assert out.schema.names[-1] == "stars"
+    assert out.column("stars").null_count == 1
+    assert out.column("stars").type == pa.int32()
+
+    # batch already carrying stars as string gets cast to int32
+    b2 = pa.RecordBatch.from_arrays(
+        [pa.array(["r1"]), pa.array(["p1"]), pa.array(["c"]), pa.array(["py"]),
+         pa.array(["x"]), pa.array(["7"])],
+        names=["repo", "path", "commit", "lang", "content", "stars"],
+    )
+    out2 = reg.align_arrow(b2)
+    assert out2.column("stars").to_pylist() == [7]
+
+    reg.apply_ddl("ALTER TABLE code.repos DROP COLUMN stars")
+    out3 = reg.align_arrow(b2)
+    assert "stars" not in out3.schema.names
+
+    # old version still addressable: align to v1 re-adds stars
+    out4 = reg.align_arrow(b, v=1)
+    assert "stars" in out4.schema.names

@@ -1,0 +1,128 @@
+"""Compaction / vacuum maintenance + CLI smoke.
+
+Compaction mirrors Iceberg rewrite_data_files + positional-delete
+compaction: small files merge, tombstones below the source low-water mark
+are GCed, tombstones above it survive (they still guard against late
+lower-event_id upserts), and table state is unchanged for readers.
+"""
+
+import glob
+import json
+import os
+
+from bifrost_spark.operators.merge import TargetTable
+
+
+def _resolved(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, op string, commit string, lang string, "
+        "content string, extra map<string,string>, event_id long",
+    )
+
+
+def _state(table):
+    return {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+
+
+def _files(table):
+    return glob.glob(os.path.join(table.path, "data", "*", "bucket=*", "*.parquet"))
+
+
+def test_compact_preserves_state_and_merges_files(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    # several merges -> several snapshots -> several files per bucket
+    for i, eid in enumerate((2, 4, 6, 8)):
+        table.merge(_resolved(spark, [("r", f"p{i}", "upsert", "c", "py", f"v{i}", None, eid)]),
+                    batch_id=f"b{i}", batch_range=(eid, eid))
+    before = _state(table)
+    table.compact()
+    after_table = TargetTable(spark, table.path)
+    assert _state(after_table) == before
+    # one live snapshot, one file per non-empty bucket
+    assert len(set(after_table.state["buckets"].values())) == 1
+    live_snap = next(iter(set(after_table.state["buckets"].values())))
+    for b in after_table.state["buckets"]:
+        fs = glob.glob(os.path.join(table.path, "data", live_snap, f"bucket={b}", "*.parquet"))
+        assert len(fs) == 1
+
+
+def test_compact_gcs_tombstones_below_lwm_only(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c", "py", "v", None, 2),
+                                  ("r", "b", "upsert", "c", "py", "v", None, 4)]),
+                batch_id="b1", batch_range=(2, 4))
+    table.merge(_resolved(spark, [("r", "a", "delete", None, None, None, None, 6),
+                                  ("r", "b", "delete", None, None, None, None, 8)]),
+                batch_id="b2", batch_range=(6, 8))
+    tombs = table.read(include_deleted=True).filter("is_deleted").count()
+    assert tombs == 2
+    table.compact(tombstone_low_water_mark=6)  # GC eid<=6, keep eid=8
+    t2 = TargetTable(spark, table.path)
+    kept = t2.read(include_deleted=True).filter("is_deleted").collect()
+    assert [r["last_event_id"] for r in kept] == [8]
+    # the surviving tombstone still blocks a late lower-event_id upsert
+    t2.merge(_resolved(spark, [("r", "b", "upsert", "c", "py", "late", None, 7)]),
+             batch_id="late", batch_range=(7, 7))
+    assert ("r", "b") not in _state(TargetTable(spark, table.path))
+
+
+def test_compact_materializes_current_schema(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    table.merge(_resolved(spark, [("r", "a", "upsert", "c", "py", "v", None, 2)]),
+                batch_id="b1", batch_range=(2, 2))
+    table.apply_ddl("ALTER TABLE code.repos ADD COLUMN stars INT", batch_id="ddl:3", event_id=3)
+    table.compact()
+    t2 = TargetTable(spark, table.path)
+    live_snap = next(iter(set(t2.state["buckets"].values())))
+    df = spark.read.parquet(os.path.join(table.path, "data", live_snap))
+    assert "stars" in df.columns  # physically materialized, not just aligned
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for i, eid in enumerate((2, 4, 6)):
+        table.merge(_resolved(spark, [("r", f"p{i}", "upsert", "c", "py", "v", None, eid)]),
+                    batch_id=f"b{i}", batch_range=(eid, eid))
+    table.compact()
+    before = _state(table)
+    n_snap_dirs = len(os.listdir(os.path.join(table.path, "data")))
+    assert n_snap_dirs > 1
+    res = table.vacuum()
+    assert res["removed_snapshots"]
+    live = set(table.state["buckets"].values())
+    assert set(os.listdir(os.path.join(table.path, "data"))) == live
+    t2 = TargetTable(spark, table.path)  # reopen after state-file GC
+    assert _state(t2) == before
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from bifrost_spark import cli
+
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    gen = ["--n-events", "2000", "--n-keys", "300", "--n-repos", "10",
+           "--snapshot-keys", "100", "--seed", "11"]
+    assert cli.main(["generate", "--out", log, "--chunks", "2", "--files-per-chunk", "2", *gen]) == 0
+    assert cli.main(["bootstrap", "--table", tbl, "--n-buckets", "4", *gen]) == 0
+    assert cli.main(["replay", "--log", log, "--table", tbl]) == 0
+    assert cli.main(["compact", "--table", tbl]) == 0
+    assert cli.main(["vacuum", "--table", tbl]) == 0
+    assert cli.main(["status", "--table", tbl]) == 0
+    # CLI replay result equals the library replay result (same oracle path
+    # as tests/test_replay_e2e.py; here we just check non-trivial state)
+    t = TargetTable(spark, tbl)
+    assert t.read().count() > 0
+    assert t.last_event_id >= 2 * 2000
+
+
+def test_cli_status_json(spark, tmp_path, capsys):
+    from bifrost_spark import cli
+
+    tbl = str(tmp_path / "tbl")
+    cli.main(["bootstrap", "--table", tbl, "--n-buckets", "2",
+              "--n-events", "10", "--snapshot-keys", "5", "--n-keys", "10"])
+    capsys.readouterr()
+    cli.main(["status", "--table", tbl])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5 and out["live_buckets"] >= 1
