@@ -460,6 +460,124 @@ class TargetTable:
             "wall_ms": wall_ms,
         }
 
+    def apply_ops(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
+                  schema_version: int | None = None, n_ops_hint: int | None = None,
+                  lww_strategy: str = "agg") -> dict:
+        """Apply RAW (un-deduped) keyed ops — cost-based physical choice:
+
+        - batch ≪ table (the 100 TB steady state): resolve LWW first, then
+          the broadcast-decomposed ``merge`` that streams only the affected
+          buckets through with zero shuffle;
+        - batch ~ table (bootstrap-adjacent, bench shape): the FUSED path —
+          MERGE *is* LWW, so union the live table rows (as ops at
+          ``seq = 2*last_event_id + 1``, tombstones as deletes) with the raw
+          batch ops and take one hash-aggregated ``max_by`` per key.  ONE
+          payload shuffle total, with map-side partial combine; replaces
+          LWW-shuffle + sort-merge-join (two shuffles + two sorts) of the
+          naive plan.  Tie at equal seq can only be a redelivered identical
+          op, so either winner is byte-identical (guard semantics of
+          ``merge`` are preserved: a src op beats a table row only when
+          strictly newer).
+        """
+        if batch_id in self.applied_batch_ids:
+            return {"skipped": True, "batch_id": batch_id}
+        n_ops = n_ops_hint if n_ops_hint is not None else -1
+        bcast_rows = int(os.environ.get("BIFROST_BROADCAST_MERGE_ROWS", "300000"))
+        tgt_bytes = self._bucket_bytes([int(b) for b in self.state["buckets"]])
+        src_bytes_est = max(n_ops, 0) * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
+        bcast_ratio = float(os.environ.get("BIFROST_BCAST_TGT_RATIO", "4"))
+        if 0 <= n_ops <= bcast_rows and tgt_bytes > bcast_ratio * src_bytes_est:
+            from bifrost_spark.operators.lww import resolve_lww
+
+            return self.merge(resolve_lww(ops, strategy=lww_strategy), batch_id=batch_id,
+                              batch_range=batch_range, schema_version=schema_version)
+        return self._merge_fused(ops, batch_id, batch_range, schema_version)
+
+    def _merge_fused(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
+                     schema_version: int | None = None) -> dict:
+        sv = self.state["schema_version"] if schema_version is None else schema_version
+        extras = [n for n, _t in self.registry.extra_columns(sv)]
+        t0 = time.time()
+
+        src = ops
+        if "extra" in src.columns:
+            for name, ltype in self.registry.extra_columns(sv):
+                src = src.withColumn(name, F.col("extra")[name].cast(LOGICAL_TYPES.get(ltype, T.StringType())))
+            src = src.drop("extra")
+        src = src.select(
+            *PK_COLUMNS, "op", "commit", "lang", "content", *extras,
+            F.col("event_id"), F.col("seq").cast("long").alias("seq"),
+        )
+
+        tgt = self.read(buckets=None, include_deleted=True)
+        tgt_ops = tgt.select(
+            *PK_COLUMNS,
+            F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+            "commit", "lang", "content", *extras,
+            F.col("last_event_id").alias("event_id"),
+            # a live row ranks as the upsert that produced it; a tombstone as
+            # its delete — same encoding events_to_ops uses (2e / 2e+1).
+            (F.col("last_event_id") * 2 + F.when(F.col("is_deleted"), F.lit(0)).otherwise(F.lit(1)))
+            .cast("long").alias("seq"),
+        )
+
+        val = F.struct("op", "commit", "lang", "content", *extras, "event_id")
+        win = (
+            src.unionByName(tgt_ops)
+            .groupBy(*PK_COLUMNS)
+            .agg(F.max_by(val, F.col("seq")).alias("v"))
+        )
+        is_del = F.col("v.op") == "delete"
+        out = win.select(
+            *PK_COLUMNS,
+            *[F.when(is_del, F.lit(None)).otherwise(F.col(f"v.{c}")).alias(c)
+              for c in ("commit", "lang", "content")],
+            F.col("v.event_id").alias("last_event_id"),
+            is_del.alias("is_deleted"),
+            *[F.when(is_del, F.lit(None)).otherwise(F.col(f"v.{c}")).alias(c) for c in extras],
+            bucket_expr(self.n_buckets).alias("bucket"),
+        )
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge_{batch_id}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(F.when(F.col("is_deleted"), 1).otherwise(0)).alias("tombstones"),
+            F.max("last_event_id").alias("max_event_id"),
+        )
+        snap = self._next_snapshot()
+        out_dir = os.path.join(self.path, "data", snap)
+        (
+            out.repartitionByRange(self.n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        m = obs.get
+        written = self._buckets_in(out_dir)
+        wall_ms = (time.time() - t0) * 1000
+
+        st = dict(self.state)
+        st["snapshot"] = snap
+        st["buckets"] = {str(b): snap for b in written}
+        st["schemas"] = {snap: out.schema.jsonValue()}
+        st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        st["applied"] = st["applied"] + [
+            {"batch_id": batch_id, "min_event_id": batch_range[0], "max_event_id": batch_range[1],
+             "kind": "merge_fused", "n_ops": None, "committed_at": time.time(), "wall_ms": wall_ms}
+        ]
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        self._append_lineage(
+            {"batch_id": batch_id, "wall_ms": wall_ms, "level": "coarse",
+             "metrics": [{"rows_out": m["rows_out"], "tombstones": m["tombstones"],
+                          "max_event_id": m["max_event_id"], "buckets": len(written)}]}
+        )
+        return {"skipped": False, "batch_id": batch_id, "fused": True,
+                "buckets_rewritten": len(written), "n_ops": None, "wall_ms": wall_ms}
+
     # ---------------------------------------------------------- maintenance
     def compact(self, tombstone_low_water_mark: int | None = None) -> dict:
         """Table maintenance (Iceberg rewrite_data_files + positional-delete

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bifrost_spark.operators.lww import events_to_ops, resolve_lww
+from bifrost_spark.operators.lww import events_to_ops
 from bifrost_spark.operators.merge import TargetTable
 from bifrost_spark.schemas import EVENT_SCHEMA
 
@@ -116,8 +116,10 @@ class ReplayEngine:
         batch_id = f"merge:{lo}-{hi}"
         if batch_id in self.table.applied_batch_ids:
             return [{"skipped": True, "batch_id": batch_id}]
-        resolved = resolve_lww(events_to_ops(seg), strategy=self.lww_strategy)
-        res = self.table.merge(resolved, batch_id=batch_id, batch_range=(lo, hi))
+        res = self.table.apply_ops(
+            events_to_ops(seg), batch_id=batch_id, batch_range=(lo, hi),
+            n_ops_hint=n, lww_strategy=self.lww_strategy,
+        )
         res["stats_ms"] = round(stats_ms, 1)
         return [res]
 
