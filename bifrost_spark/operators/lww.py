@@ -14,10 +14,12 @@ Spark-first design notes (scale):
   actually changed; the intra-event order is encoded in ``seq =
   event_id*2 (+1 for the upsert)`` so LWW stays a single max.
 - The default ``agg`` strategy is ``groupBy(pk).agg(max_by(payload, seq))``:
-  Catalyst plans it as partial_max_by → shuffle → final_max_by, so hot keys
-  (the linux/chromium mega-repos) are combined map-side BEFORE the shuffle —
-  this partial aggregation is the scalable equivalent of explicit hot-key
-  salting, with AQE skew handling on top.  A window/row_number plan, by
+  one pass over the source with map-side partial combine before the
+  shuffle, so hot keys (the linux/chromium mega-repos) collapse early,
+  with AQE skew handling on top.  Spark executes struct-buffer aggregates
+  as SortAggregate, but measured A/B (see resolve_lww docstring) the
+  single pass beats the no-sort late-materialization ``hash`` variant,
+  which must consume the source twice.  A window/row_number plan, by
   contrast, must shuffle EVERY raw event of a hot key to one partition.
 - ``salted_window`` implements the explicit two-phase salt for comparison
   and for engines without max_by partial pushdown: LWW within (pk, salt),
@@ -107,14 +109,35 @@ def resolve_lww(ops: DataFrame, strategy: str = "agg", n_salts: int = 16) -> Dat
     """Collapse ops to at most one terminal op per PK (latest seq wins).
 
     ``strategy``:
-      - ``agg`` (default, scale path): max_by with map-side partial combine.
+      - ``agg`` (default): one-pass ``max_by(payload_struct, seq)``.
+        Spark plans struct-buffer aggregates as SortAggregate (no hash
+        exec for non-primitive buffers), but measured head-to-head the
+        single pass still wins: partition-local sorts of in-memory rows
+        are cheap next to a second source scan.
+      - ``hash``: LATE MATERIALIZATION — narrow ``max(seq)`` per key
+        (primitive buffer → HashAggregate) + ``shuffle_hash`` LEFT SEMI
+        fetch of the winning rows; nothing sorts, but the source is
+        consumed twice (winners + fetch).  Wins only when ``ops`` is
+        already materialized (cached/checkpointed) AND payloads are wide;
+        measured at 8M cached ops × ~400B rows it LOSES to ``agg``
+        (2.0s vs 0.9s at local[32]) — kept as the option it is, with the
+        measurement, not the theory, in charge.  Requires ``(pk, seq)``
+        unique, which ``events_to_ops`` guarantees.
       - ``window``: row_number() == 1 — the literal translation of
         mysql_normal_sync.go's reverse scan; shuffles all rows per key.
       - ``salted_window``: two-phase window with explicit hot-key salting
         (SURVEY.md §4 custom-work item 4).
-    All three return identical results (property-tested).
+    All strategies return identical results (property-tested).
     """
     val = F.struct(*[F.col(c) for c in ["op", *OP_PAYLOAD, "event_id", "schema_version"]])
+    if strategy == "hash":
+        winners = ops.groupBy(*PK_COLUMNS).agg(F.max("seq").alias("_wseq")).hint("shuffle_hash")
+        cond = (ops["seq"] == winners["_wseq"])
+        for c in PK_COLUMNS:
+            cond = cond & (ops[c] == winners[c])
+        return ops.join(winners, on=cond, how="left_semi").select(
+            *PK_COLUMNS, "op", *OP_PAYLOAD, "event_id", "schema_version", "seq"
+        )
     if strategy == "agg":
         out = ops.groupBy(*PK_COLUMNS).agg(F.max_by(val, F.col("seq")).alias("v"), F.max("seq").alias("seq"))
         return out.select(*PK_COLUMNS, "v.*", "seq")

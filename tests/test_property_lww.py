@@ -63,13 +63,13 @@ def _fold(ops):
 def test_lww_strategies_agree_and_match_fold(spark, ops):
     df = _ops_df(spark, ops)
     results = {}
-    for strat in ("agg", "window", "salted_window"):
+    for strat in ("hash", "agg", "window", "salted_window"):
         out = resolve_lww(df, strategy=strat, n_salts=4)
         results[strat] = {
             (r["repo"], r["path"]): (r["op"], r["commit"], r["content"], r["event_id"])
             for r in out.collect()
         }
-    assert results["agg"] == results["window"] == results["salted_window"]
+    assert results["hash"] == results["agg"] == results["window"] == results["salted_window"]
     fold = _fold(ops)
     for (r, p), resolved in results["agg"].items():
         op, commit, content, eid = resolved

@@ -1,0 +1,182 @@
+"""Physical-plan audit → PLANS.md.
+
+Captures `.explain("formatted")` for the engine's hot paths and asserts the
+plan properties the 100 TB design depends on:
+
+1. replay stats job: parquet scan reads ONLY the pruned columns
+   (event_id, event_type, query) — column pruning reaches ReadSchema;
+2. LWW resolve (agg strategy): partial max_by BEFORE the exchange
+   (map-side combine — the scalable hot-key answer) and ONE exchange;
+3. broadcast-decomposed merge: BroadcastHashJoin on the batch side, NO
+   shuffle exchange of the target scan;
+4. fused merge: exactly ONE payload exchange, single pass over union (no
+   shuffled join; SortAggregate is expected — see the in-code note);
+5. bucket-pruned read: partition filter on bucket= dirs (partition pruning,
+   not a data filter).
+
+Run: python tools/plan_audit.py   (writes PLANS.md; exits non-zero if an
+assertion fails, so it doubles as a regression gate.)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bifrost_spark.generator import (  # noqa: E402
+    GeneratorConfig,
+    generate_events,
+    generate_snapshot,
+    write_event_log,
+)
+from bifrost_spark.operators.lww import events_to_ops, resolve_lww  # noqa: E402
+from bifrost_spark.operators.merge import TargetTable  # noqa: E402
+from bifrost_spark.schemas import EVENT_SCHEMA  # noqa: E402
+from bifrost_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/dev/shm/bifrost_plan_audit" if os.path.isdir("/dev/shm") else os.path.join(REPO, ".tmp", "plan_audit")
+
+
+def n_nodes(plan: str, name: str) -> int:
+    import re as _re
+    return len(_re.findall(rf"^\(\d+\) {name}", plan, _re.M))
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = GeneratorConfig(n_events=40_000, n_keys=4_000, n_repos=40, seed=7, snapshot_keys=2_000)
+    log = os.path.join(WORK, "log")
+    write_event_log(generate_events(spark, cfg), log, n_chunks=2, files_per_chunk=4)
+    table = TargetTable.create(spark, os.path.join(WORK, "tbl"), n_buckets=8)
+    table.bootstrap(generate_snapshot(spark, cfg))
+
+    sections: list[tuple[str, str, list[str]]] = []
+    failures: list[str] = []
+
+    events = spark.read.schema(EVENT_SCHEMA).parquet(os.path.join(log, "chunk=0000"))
+
+    # 1. stats job column pruning
+    stats = events.agg(
+        F.count(F.when(F.col("event_type").isin("insert", "update", "delete"), 1)).alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.sort_array(F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))).alias("ddls"),
+    )
+    p = formatted(stats)
+    checks = []
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    ok = rs and all(("before" not in ln and "after" not in ln and "gtid" not in ln) for ln in rs)
+    checks.append(("ReadSchema pruned to event_id/event_type/query (no payload columns)", ok))
+    sections.append(("Replay stats job — column pruning to the scan", p, checks))
+
+    # 2. LWW agg: partial max_by before exchange, single exchange
+    ops = events_to_ops(events)
+    lww = resolve_lww(ops, strategy="agg")
+    p = formatted(lww)
+    checks = [
+        ("exactly one shuffle Exchange (payload moves once)",
+         n_nodes(p, "Exchange") == 1),
+        ("partial aggregate (map-side combine) before the exchange",
+         "partial_max_by" in p),
+    ]
+    sections.append(("LWW resolve (agg) — map-side partial combine, one exchange", p, checks))
+
+    # 3. broadcast-decomposed merge: force the broadcast path with a tiny batch
+    small = generate_events(spark, GeneratorConfig(n_events=200, n_keys=4_000, n_repos=40, seed=9))
+    os.environ["BIFROST_BROADCAST_MERGE_ROWS"] = "300000"
+    os.environ["BIFROST_BCAST_TGT_RATIO"] = "0"  # force broadcast branch
+    resolved = resolve_lww(events_to_ops(small)).persist()
+    resolved.count()
+    tgt = table.read(include_deleted=True)
+    joined = tgt.alias("t").join(
+        F.broadcast(resolved.alias("s")), on=["repo", "path"], how="left_outer"
+    )
+    p = formatted(joined)
+    tgt_side = p.split("BroadcastHashJoin")[0] if "BroadcastHashJoin" in p else p
+    checks = [
+        ("BroadcastHashJoin used", "BroadcastHashJoin" in p),
+        ("no shuffle Exchange on the streamed target side",
+         "Exchange hashpartitioning" not in tgt_side),
+    ]
+    sections.append(("Broadcast-decomposed MERGE — target streams, batch broadcasts", p, checks))
+    del os.environ["BIFROST_BCAST_TGT_RATIO"]
+    resolved.unpersist()
+
+    # 4. fused merge: one payload exchange, hash agg, no sort
+    fused_src = events_to_ops(events)
+    tgt_ops = table.read(include_deleted=True).select(
+        "repo", "path",
+        F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        "commit", "lang", "content",
+        F.col("last_event_id").alias("event_id"),
+        (F.col("last_event_id") * 2 + F.when(F.col("is_deleted"), F.lit(0)).otherwise(F.lit(1)))
+        .cast("long").alias("seq"),
+    )
+    val = F.struct("op", "commit", "lang", "content", "event_id")
+    fused = (
+        fused_src.select("repo", "path", "op", "commit", "lang", "content", "event_id", "seq")
+        .unionByName(tgt_ops)
+        .groupBy("repo", "path")
+        .agg(F.max_by(val, F.col("seq")).alias("v"))
+    )
+    p = formatted(fused)
+    checks = [
+        ("exactly one shuffle Exchange for the whole merge",
+         n_nodes(p, "Exchange") == 1),
+        ("no shuffled join (union + aggregate, not full-outer SMJ)",
+         n_nodes(p, "SortMergeJoin") == 0 and n_nodes(p, "ShuffledHashJoin") == 0),
+        ("partial combine before the exchange", "partial_max_by" in p),
+    ]
+    # NB: SortAggregate + per-partition Sort is EXPECTED here — Spark has no
+    # hash exec for struct-buffer aggregates, and measured A/B showed the
+    # one-pass sort-agg beats a no-sort two-pass late-materialization plan.
+    sections.append(("Fused LWW∪table MERGE — one exchange, single pass", p, checks))
+
+    # 5. bucket-pruned read: partition filter, not data filter
+    pruned = table.read(buckets=[1, 2])
+    p = formatted(pruned)
+    checks = [
+        ("bucket filter applied as PartitionFilters on the scan",
+         "PartitionFilters" in p and "bucket" in p.split("PartitionFilters", 1)[1][:200]),
+    ]
+    sections.append(("Bucket-pruned table read — partition pruning", p, checks))
+
+    # ---- write PLANS.md
+    out = ["# PLANS — physical-plan audit of the hot paths\n",
+           "Generated by tools/plan_audit.py (also a regression gate: each check",
+           "below is asserted; the script exits non-zero on failure).\n"]
+    for title, plan, checks in sections:
+        out.append(f"\n## {title}\n")
+        for desc, ok in checks:
+            out.append(f"- [{'x' if ok else ' '}] {desc}")
+            if not ok:
+                failures.append(f"{title}: {desc}")
+        out.append("\n```\n" + plan.strip()[:4000] + "\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    shutil.rmtree(WORK, ignore_errors=True)
+    print(f"PLANS.md written; {len(failures)} failed checks")
+    for fl in failures:
+        print("FAIL:", fl)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
