@@ -201,7 +201,7 @@ class TargetTable:
         out_dir = os.path.join(self.path, "data", snap)
         df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets)).withColumn("is_deleted", F.lit(False))
         df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"])
-        df.repartition(self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        df.repartition(2 * self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         written = self._buckets_in(out_dir)
         st = dict(self.state)
         st["snapshot"] = snap
@@ -386,11 +386,13 @@ class TargetTable:
             joined = tgt.alias("t").join(src.alias("s"), on=PK_COLUMNS, how="full_outer")
             out = merged_select(joined)
             (
-                # range- not hash-partition on bucket: with one partition per
-                # touched bucket, hashing would collide ~1/3 of them (two
-                # buckets in one write task, none in another); range gives
-                # ~1 bucket per task and one output file per bucket.
-                out.repartitionByRange(max(len(affected), 1), "bucket")
+                # hash-repartition on bucket at 2x width: every bucket VALUE
+                # maps to exactly one partition (one output file per bucket),
+                # the 2x width thins hash collisions (two buckets sharing a
+                # write task), and unlike repartitionByRange there is no
+                # sampling pass — range partitioning re-executes the whole
+                # upstream merge once just to pick bounds (measured +11%).
+                out.repartition(2 * max(len(affected), 1), "bucket")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(out_dir)
@@ -550,7 +552,9 @@ class TargetTable:
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
         (
-            out.repartitionByRange(self.n_buckets, "bucket")
+            # hash at 2x width: 1 file/bucket, no range-sampling pass (which
+            # would re-execute the whole fused merge once to pick bounds)
+            out.repartition(2 * self.n_buckets, "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)
@@ -603,7 +607,7 @@ class TargetTable:
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
         (
-            keep.repartition(self.n_buckets, "bucket")
+            keep.repartition(2 * self.n_buckets, "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)
