@@ -84,7 +84,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    n_events = int(os.environ.get("BENCH_EVENTS", "1000000"))
+    # 4M events: enough to amortize cold-JVM JIT so events/sec reflects the
+    # engine, not first-run codegen compilation.
+    n_events = int(os.environ.get("BENCH_EVENTS", "4000000"))
     n_keys = int(os.environ.get("BENCH_KEYS", str(max(n_events // 10, 1000))))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
     workdir = (

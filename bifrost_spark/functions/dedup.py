@@ -68,10 +68,13 @@ def minhash_lsh_candidates(
         shingles(F.col(text_col), n_gram).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), k=k))
 
+    # Late materialization: the band self-join sees ONLY (id, band, bucket)
+    # — narrow fixed-width rows — never the shingle/signature arrays, which
+    # would otherwise be replicated ×bands through the blocking shuffle.
+    # Payloads are fetched afterwards for just the (few) candidate pairs.
+    sig = sig.persist()
     banded = sig.select(
         "id",
-        "sh",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -81,23 +84,19 @@ def minhash_lsh_candidates(
     )
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    pa = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    pb = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    cand = pairs.join(pa, "doc_a").join(pb, "doc_b")
 
     est = (
         F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")), lambda v: v == 1))

@@ -90,28 +90,34 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing a bucket with the query
     in ANY of n_tables hash tables; exact cosine re-rank on candidates."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")).persist()
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")).persist()
+    # Late materialization: the ×n_tables bucket join and the pair-dedup see
+    # only (id, tbl, sig) — never the embedding arrays (which a dedup would
+    # otherwise drag through a SortAggregate per pair).  Vectors are fetched
+    # after, for candidate pairs only.
     c_b = c.select(
-        "*",
+        "neighbor_id",
         F.explode(
             F.array(*[F.struct(F.lit(t).alias("tbl"), lsh_signature(F.col("cv"), dim, n_planes, t, seed).alias("sig"))
                       for t in range(n_tables)])
         ).alias("bkt"),
-    ).select("neighbor_id", "cv", "bkt.tbl", "bkt.sig")
+    ).select("neighbor_id", "bkt.tbl", "bkt.sig")
     q_b = q.select(
-        "*",
+        query_id_col,
         F.explode(
             F.array(*[F.struct(F.lit(t).alias("tbl"), lsh_signature(F.col("qv"), dim, n_planes, t, seed).alias("sig"))
                       for t in range(n_tables)])
         ).alias("bkt"),
-    ).select(query_id_col, "qv", "bkt.tbl", "bkt.sig")
+    ).select(query_id_col, "bkt.tbl", "bkt.sig")
 
-    cand = (
+    pairs = (
         q_b.join(c_b, on=["tbl", "sig"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
+    cand = pairs.join(q, query_id_col).join(c, "neighbor_id")
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
