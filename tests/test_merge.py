@@ -190,3 +190,42 @@ def test_tombstone_blocks_late_upsert(spark, tmp_path):
     assert t.read().count() == 0
     tomb = t.read(include_deleted=True).collect()
     assert len(tomb) == 1 and tomb[0]["is_deleted"] and tomb[0]["last_event_id"] == 20
+
+
+def _ops(spark, rows):
+    # rows: (repo, path, op, commit, lang, content, extra, event_id) -> raw
+    # (un-deduped) op rows as events_to_ops would emit them
+    data = [(r, p, k, c, lang, v, x, eid, eid * 2 + (1 if k == "upsert" else 0), 0)
+            for (r, p, k, c, lang, v, x, eid) in rows]
+    return spark.createDataFrame(
+        data,
+        "repo string, path string, op string, commit string, lang string, "
+        "content string, extra map<string,string>, event_id long, seq long, "
+        "schema_version int",
+    )
+
+
+def test_fused_out_of_order_batches_commute(spark, tmp_path, monkeypatch):
+    """The FUSED single-shuffle merge path must commute across disjoint
+    batches exactly like the broadcast path (LWW union max is associative)."""
+    monkeypatch.setenv("BIFROST_BROADCAST_MERGE_ROWS", "0")  # force fused
+    early = [("r", "a", "upsert", "c1", "py", "v1", None, 10),
+             ("r", "a", "upsert", "c1b", "py", "v1b", None, 11),  # intra-batch dedup
+             ("r", "b", "upsert", "c2", "go", "b1", None, 12)]
+    late = [("r", "a", "delete", None, None, None, None, 20),
+            ("r", "b", "upsert", "c4", "go", "b2", None, 22)]
+
+    def run(order):
+        t = TargetTable.create(spark, str(tmp_path / f"tf_{order}"), n_buckets=4)
+        batches = [("early", early, (10, 12)), ("late", late, (20, 22))]
+        if order == "reversed":
+            batches = batches[::-1]
+        for bid, rows, rng in batches:
+            res = t.apply_ops(_ops(spark, rows), batch_id=bid, batch_range=rng, n_ops_hint=len(rows))
+            assert res.get("fused"), res
+        return _state(t)
+
+    s1, s2 = run("forward"), run("reversed")
+    assert set(s1) == set(s2) == {("r", "b")}
+    assert s1[("r", "b")]["content"] == s2[("r", "b")]["content"] == "b2"
+    assert s1[("r", "b")]["last_event_id"] == 22
