@@ -577,10 +577,38 @@ class TargetTable:
         self._append_lineage(
             {"batch_id": batch_id, "wall_ms": wall_ms, "level": "coarse",
              "metrics": [{"rows_out": m["rows_out"], "tombstones": m["tombstones"],
-                          "max_event_id": m["max_event_id"], "buckets": len(written)}]}
+                          "max_event_id": m["max_event_id"], "buckets": len(written)}],
+             "bucket_rows": self._bucket_rows_from_footers(out_dir, written)}
         )
         return {"skipped": False, "batch_id": batch_id, "fused": True,
                 "buckets_rewritten": len(written), "n_ops": None, "wall_ms": wall_ms}
+
+    def _bucket_rows_from_footers(self, out_dir: str, buckets: list[int],
+                                  max_buckets: int = 4096) -> dict[str, int] | None:
+        """Per-bucket row counts read from parquet FOOTER metadata — pure
+        driver-side pyarrow, no Spark job.  Capped: the fused path that
+        needs this rewrites every bucket, which only happens at sandbox /
+        bootstrap scale; a 16k-bucket steady-state table takes the
+        broadcast path whose lineage is exact already."""
+        if len(buckets) > max_buckets:
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        out: dict[str, int] = {}
+        for b in buckets:
+            d = os.path.join(out_dir, f"bucket={b}")
+            try:
+                with os.scandir(d) as it:
+                    out[str(b)] = sum(
+                        pq.ParquetFile(e.path).metadata.num_rows
+                        for e in it
+                        if e.is_file() and e.name.endswith(".parquet")
+                    )
+            except (FileNotFoundError, OSError):
+                out[str(b)] = -1
+        return out
 
     # ---------------------------------------------------------- maintenance
     def compact(self, tombstone_low_water_mark: int | None = None) -> dict:

@@ -126,3 +126,22 @@ def test_cli_status_json(spark, tmp_path, capsys):
     cli.main(["status", "--table", tbl])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 5 and out["live_buckets"] >= 1
+
+
+def test_fused_lineage_bucket_rows(spark, tmp_path, monkeypatch):
+    """Fused merges record per-bucket row counts from parquet footers."""
+    monkeypatch.setenv("BIFROST_BROADCAST_MERGE_ROWS", "0")  # force fused
+    table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    ops = spark.createDataFrame(
+        [("r", f"p{i}", "upsert", "c", "py", f"v{i}", None, 2 * (i + 1),
+          4 * (i + 1) + 1, 0) for i in range(20)],
+        "repo string, path string, op string, commit string, lang string, "
+        "content string, extra map<string,string>, event_id long, seq long, "
+        "schema_version int",
+    )
+    res = table.apply_ops(ops, batch_id="b1", batch_range=(2, 40), n_ops_hint=20)
+    assert res["fused"]
+    lin = table.lineage()["b1"]
+    rows = lin["bucket_rows"]
+    assert rows is not None and sum(rows.values()) == 20
+    assert lin["metrics"][0]["rows_out"] == 20
