@@ -452,6 +452,121 @@ def q_doc_fingerprint(spark, sf_dir):
 # rows-only entries (non-SQL-expressible: full engine replay, LSH internals)
 # --------------------------------------------------------------------------
 
+def _canal_rowmaps(ev):
+    # content as an integer-string (round(value*100)) so the oracle's string
+    # rendering is engine-independent (no float formatting drift)
+    c = F.round(F.col("value") * 100).cast("bigint").cast("string")
+    row = F.create_map(
+        F.lit("repo"), F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        F.lit("path"), F.concat(F.lit("e"), F.col("event_id").cast("string")),
+        F.lit("lang"), F.col("event_type"),
+        F.lit("content"), c,
+    )
+    old = F.create_map(
+        F.lit("repo"), F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        F.lit("path"), F.concat(F.lit("e"), F.col("event_id").cast("string")),
+        F.lit("content"), F.lit("prev"),
+    )
+    return row, old
+
+
+def _roundtrip_projection(decoded):
+    return decoded.select(
+        "event_id",
+        "event_type",
+        "schema_name",
+        "table_name",
+        "gtid",
+        F.col("before.repo").alias("before_repo"),
+        F.col("before.content").alias("before_content"),
+        F.col("after.repo").alias("after_repo"),
+        F.col("after.content").alias("after_content"),
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_sec"),
+    )
+
+
+_ROUNDTRIP_ORACLE_BASE = """
+    FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                 'u' || CAST(user_id AS VARCHAR) AS urepo
+          FROM events)
+"""
+
+
+def q_s6_canal_roundtrip(spark, sf_dir):
+    """S6: canal-json wire round-trip — construct canal messages from the
+    events table, decode with sources.kafka_formats.decode_canal_json.
+    The oracle computes the expected decode directly (no JSON), so any
+    decoder drift (op mapping, before/after images, gtid encoding,
+    timestamp precision) mismatches.
+    Ref: /root/reference/input/kafka/input_canal_data.go,
+    /root/reference/plugin/driver/canal_json.go:29-47."""
+    from bifrost_spark.sources.kafka_formats import decode_canal_json
+
+    ev = _ev(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    row, old = _canal_rowmaps(ev)
+    msg = F.to_json(
+        F.struct(
+            F.lit("app").alias("database"),
+            F.lit("events").alias("table"),
+            op.alias("type"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            F.lit(0).cast("long").alias("es"),
+            F.lit(None).cast("string").alias("sql"),
+            F.lit(False).alias("isDdl"),
+            F.array(F.lit("repo"), F.lit("path")).alias("pkNames"),
+            F.array(row).alias("data"),
+            F.when(op == "UPDATE", F.array(old)).alias("old"),
+        )
+    )
+    kafka = ev.select(
+        F.lit("cdc").alias("topic"), F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"), msg.alias("value"),
+    )
+    return _roundtrip_projection(decode_canal_json(kafka))
+
+
+def q_s6_debezium_roundtrip(spark, sf_dir):
+    """S6: debezium envelope round-trip (op c→insert, u→update, d→delete).
+    Ref: /root/reference/input/kafka/input_debezium_data.go,
+    /root/reference/plugin/driver/debezium_json.go."""
+    from bifrost_spark.sources.kafka_formats import decode_debezium_json
+
+    ev = _ev(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    row, old = _canal_rowmaps(ev)
+    msg = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op == "u", old).when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.struct(
+                    F.lit("app").alias("db"),
+                    F.lit("events").alias("table"),
+                    F.lit("binlog.000001").alias("file"),
+                    F.col("event_id").alias("pos"),
+                    F.concat(F.lit("g:"), F.col("event_id").cast("string")).alias("gtid"),
+                ).alias("source"),
+            ).alias("payload")
+        )
+    )
+    kafka = ev.select(
+        F.lit("cdc").alias("topic"), F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"), msg.alias("value"),
+    )
+    return _roundtrip_projection(decode_debezium_json(kafka))
+
+
 def q_cdc_replay_e2e(spark, sf_dir):
     """The engine itself: generate a deterministic CDC stream (inserts,
     updates, deletes, PK-changing updates, DDL), bootstrap a snapshot, replay
@@ -536,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "s6_canal_roundtrip": q_s6_canal_roundtrip,
+        "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
     }
 
 
@@ -747,4 +864,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cdc_replay_e2e / dedup_minhash_lsh / dedup_simhash: intentionally
         # no SQL oracle (full engine replay & hash-internal ops) → rows-only.
+        "s6_canal_roundtrip": """
+            SELECT event_id,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS event_type,
+                   'app' AS schema_name, 'events' AS table_name,
+                   'cdc:0:' || CAST(event_id AS VARCHAR) AS gtid,
+                   CASE WHEN event_type = 'signup' THEN NULL ELSE urepo END AS before_repo,
+                   CASE WHEN event_type = 'error' THEN c
+                        WHEN event_type = 'signup' THEN NULL
+                        ELSE 'prev' END AS before_content,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE urepo END AS after_repo,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE c END AS after_content,
+                   date_trunc('second', ts) AS ts_sec
+            FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                         'u' || CAST(user_id AS VARCHAR) AS urepo
+                  FROM events)
+        """,
+        "s6_debezium_roundtrip": """
+            SELECT event_id,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS event_type,
+                   'app' AS schema_name, 'events' AS table_name,
+                   'g:' || CAST(event_id AS VARCHAR) AS gtid,
+                   CASE WHEN event_type = 'signup' THEN NULL ELSE urepo END AS before_repo,
+                   CASE WHEN event_type = 'error' THEN c
+                        WHEN event_type = 'signup' THEN NULL
+                        ELSE 'prev' END AS before_content,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE urepo END AS after_repo,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE c END AS after_content,
+                   date_trunc('second', ts) AS ts_sec
+            FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                         'u' || CAST(user_id AS VARCHAR) AS urepo
+                  FROM events)
+        """,
     }
