@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--end-chunk", type=int, default=None)
     r.add_argument("--unordered", action="store_true",
                    help="disable the high-water-mark stale skip (chunks may arrive out of order)")
+    r.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                   help="compact+vacuum when live buckets span more than N snapshots")
 
     s = sub.add_parser("stream")
     s.add_argument("--log", required=True)
@@ -119,7 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         table = TargetTable(spark, args.table)
         results = replay_event_log(spark, args.log, table,
                                    start_chunk=args.start_chunk, end_chunk=args.end_chunk,
-                                   ordered=not args.unordered)
+                                   ordered=not args.unordered,
+                                   auto_compact_snapshots=args.auto_compact)
         out = {"batches": len(results),
                "applied": sum(1 for r in results if not r.get("skipped"))}
     elif args.cmd == "stream":

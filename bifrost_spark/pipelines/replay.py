@@ -29,16 +29,39 @@ from bifrost_spark.schemas import EVENT_SCHEMA
 
 
 class ReplayEngine:
-    def __init__(self, table: TargetTable, lww_strategy: str = "agg", ordered: bool = True):
+    def __init__(self, table: TargetTable, lww_strategy: str = "agg", ordered: bool = True,
+                 auto_compact_snapshots: int | None = None):
         # ordered=True: batches arrive in global event_id order (the chunked
         # replay driver sorts chunks) → the F9 stale-event skip below is safe
         # and makes re-delivered prefixes true no-ops.  ordered=False (e.g. a
         # streaming file source, which does NOT guarantee file order):
         # correctness falls back to manifests + the commutative
         # tombstone/guard merge; no high-water-mark skipping.
+        #
+        # auto_compact_snapshots=N: after a batch, if the table's live
+        # buckets span more than N snapshots (each adds one scan+union to
+        # every read), compact + vacuum.  In ordered mode the stale-event
+        # skip guarantees nothing at-or-below last_event_id can ever land,
+        # so it doubles as a SAFE tombstone-GC low-water mark; unordered
+        # mode compacts without tombstone GC (a late batch may still need
+        # the tombstone guard).
         self.table = table
         self.lww_strategy = lww_strategy
         self.ordered = ordered
+        self.auto_compact_snapshots = auto_compact_snapshots
+
+    def maybe_maintain(self) -> dict | None:
+        n = self.auto_compact_snapshots
+        if n is None:
+            return None
+        live = set(self.table.state["buckets"].values())
+        if len(live) <= n:
+            return None
+        lwm = self.table.last_event_id if self.ordered else None
+        res = self.table.compact(tombstone_low_water_mark=lwm)
+        res["vacuum"] = self.table.vacuum()
+        res["kind"] = "auto_compact"
+        return res
 
     def apply_batch(self, events: DataFrame) -> list[dict]:
         """Apply one micro-batch: split at DDL barriers, then per segment
@@ -132,12 +155,14 @@ def replay_event_log(
     start_chunk: int = 0,
     end_chunk: int | None = None,
     ordered: bool = True,
+    auto_compact_snapshots: int | None = None,
 ) -> list[dict]:
     """Chunked batch replay of a ``write_event_log`` directory in order —
     the micro-batch emulation driver (SURVEY.md §7 step 3).  ``start_chunk``
     lets a killed run resume; re-running committed chunks is a no-op via
     manifests (exactly-once)."""
-    engine = ReplayEngine(table, lww_strategy, ordered=ordered)
+    engine = ReplayEngine(table, lww_strategy, ordered=ordered,
+                          auto_compact_snapshots=auto_compact_snapshots)
     chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
     results: list[dict] = []
     for chunk in chunks[start_chunk:end_chunk]:
@@ -145,4 +170,7 @@ def replay_event_log(
         # skipping footer inference saves one driver job per micro-batch.
         df = spark.read.schema(EVENT_SCHEMA).parquet(os.path.join(log_path, chunk))
         results.extend(engine.apply_batch(df))
+        m = engine.maybe_maintain()
+        if m is not None:
+            results.append(m)
     return results

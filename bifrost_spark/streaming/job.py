@@ -41,8 +41,10 @@ def start_cdc_stream(
     available_now: bool = True,
     lww_strategy: str = "agg",
     ordered: bool = False,
+    auto_compact_snapshots: int | None = None,
 ) -> StreamingQuery:
-    engine = ReplayEngine(table, lww_strategy, ordered=ordered)
+    engine = ReplayEngine(table, lww_strategy, ordered=ordered,
+                          auto_compact_snapshots=auto_compact_snapshots)
     # NB: StructType.add mutates in place — build a copy, never touch the
     # shared EVENT_SCHEMA.
     stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])
@@ -55,6 +57,7 @@ def start_cdc_stream(
 
     def _apply(batch_df, epoch_id: int):  # noqa: ANN001
         engine.apply_batch(batch_df)
+        engine.maybe_maintain()
 
     writer = events.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
     if available_now:

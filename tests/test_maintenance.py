@@ -145,3 +145,42 @@ def test_fused_lineage_bucket_rows(spark, tmp_path, monkeypatch):
     rows = lin["bucket_rows"]
     assert rows is not None and sum(rows.values()) == 20
     assert lin["metrics"][0]["rows_out"] == 20
+
+
+def test_auto_compact_during_replay(spark, tmp_path):
+    """replay_event_log(auto_compact_snapshots=N): once live buckets span
+    more than N snapshots the engine compacts + vacuums mid-replay, GCing
+    tombstones below the ordered high-water mark, without changing the
+    final state vs a maintenance-free replay."""
+    from bifrost_spark.generator import GeneratorConfig, generate_events, generate_snapshot, write_event_log
+    from bifrost_spark.oracle import content_sha_map, sequential_apply
+    from bifrost_spark.pipelines.replay import replay_event_log
+
+    # small point-y chunks against many buckets: each merge rewrites a
+    # SUBSET of buckets, so live-bucket snapshots fan out until the
+    # auto-compact threshold trips (with few buckets every chunk touches
+    # all of them and one snapshot stays live — no trigger).
+    cfg = GeneratorConfig(n_events=600, n_keys=400, n_repos=12, seed=21,
+                          snapshot_keys=100, delete_ratio=0.2)
+    events = generate_events(spark, cfg)
+    log = str(tmp_path / "log")
+    write_event_log(events, log, n_chunks=12, files_per_chunk=2)
+
+    t = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=64)
+    t.bootstrap(generate_snapshot(spark, cfg))
+    res = replay_event_log(spark, log, t, auto_compact_snapshots=2)
+    assert any(r.get("kind") == "auto_compact" for r in res)
+    t = TargetTable(spark, t.path)
+    # live snapshots bounded; orphans vacuumed
+    assert len(set(t.state["buckets"].values())) <= 4
+    data_dirs = set(os.listdir(os.path.join(t.path, "data")))
+    assert data_dirs == set(t.state["buckets"].values())
+    # final state still equals the sequential oracle
+    expected = sequential_apply(events.toPandas(), generate_snapshot(spark, cfg).toPandas())
+    actual = t.to_pandas_sorted().reset_index(drop=True)
+    assert content_sha_map(expected) == content_sha_map(actual)
+    # tombstones below the high-water mark were GCed by the last compact
+    n_tombs = t.read(include_deleted=True).filter("is_deleted").count()
+    applied_compacts = [a for a in t.state["applied"] if a["kind"] == "compact"]
+    assert applied_compacts and applied_compacts[-1]["tombstone_lwm"] > 0
+    assert n_tombs < events.filter("event_type = 'delete'").count()
