@@ -88,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--continuous", action="store_true",
                    help="keep tailing the log instead of draining availableNow")
 
+    fc = sub.add_parser("counters")
+    fc.add_argument("--log", required=True)
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--checkpoint", required=True)
+    fc.add_argument("--windowed", action="store_true",
+                    help="event-time windowed counts (watermarked) instead of running totals")
+    fc.add_argument("--max-files-per-trigger", type=int, default=4)
+
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.add_argument("--tombstone-lwm", type=int, default=None)
@@ -138,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
             q.processAllAvailable()
             q.stop()
         out = {"stream": "drained" if not args.continuous else "terminated"}
+    elif args.cmd == "counters":
+        if args.windowed:
+            from bifrost_spark.streaming.windows import start_windowed_flow_stream as _start
+        else:
+            from bifrost_spark.streaming.flow_state import start_flow_counter_stream as _start
+        q = _start(spark, args.log, args.out, args.checkpoint,
+                   max_files_per_trigger=args.max_files_per_trigger)
+        q.processAllAvailable()
+        q.stop()
+        out = {"counters": args.out, "windowed": args.windowed}
     elif args.cmd == "compact":
         out = TargetTable(spark, args.table).compact(args.tombstone_lwm)
     elif args.cmd == "vacuum":

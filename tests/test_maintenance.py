@@ -184,3 +184,18 @@ def test_auto_compact_during_replay(spark, tmp_path):
     applied_compacts = [a for a in t.state["applied"] if a["kind"] == "compact"]
     assert applied_compacts and applied_compacts[-1]["tombstone_lwm"] > 0
     assert n_tombs < events.filter("event_type = 'delete'").count()
+
+
+def test_cli_counters(spark, tmp_path, capsys):
+    from bifrost_spark import cli
+
+    log = str(tmp_path / "log")
+    cli.main(["generate", "--out", log, "--chunks", "2", "--files-per-chunk", "2",
+              "--n-events", "1000", "--n-keys", "200", "--n-repos", "5", "--seed", "9"])
+    capsys.readouterr()
+    assert cli.main(["counters", "--log", log, "--out", str(tmp_path / "c1"),
+                     "--checkpoint", str(tmp_path / "k1")]) == 0
+    assert cli.main(["counters", "--log", log, "--out", str(tmp_path / "c2"),
+                     "--checkpoint", str(tmp_path / "k2"), "--windowed"]) == 0
+    assert spark.read.parquet(str(tmp_path / "c1")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "c2")).count() > 0
