@@ -830,9 +830,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    max(n_tokens) AS max_tokens,
-                   sum(n_chars2) AS total_chars
+                   CAST(sum(n_chars2) AS BIGINT) AS total_chars
             FROM (
                 SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                        CAST(length(text) AS INT) AS n_chars2

@@ -98,6 +98,8 @@ def main() -> None:
     cdc = run_cdc_replay(spark, n_events, n_keys, n_chunks, workdir)
     timings["cdc_replay"] = round(time.time() - t0, 3)
 
+    from bifrost_spark.functions.cache import release_caches
+
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -105,6 +107,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        release_caches()
         _ = n
 
     total = round(sum(timings.values()), 3)

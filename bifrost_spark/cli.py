@@ -8,8 +8,15 @@ spark-submit entrypoint + config file; no UI").
 Local run:          python -m bifrost_spark replay --log L --table T
 Cluster run:        spark-submit --py-files bifrost_spark.zip \
                         --conf spark.sql.shuffle.partitions=2048 \
-                        tools/submit_entry.py replay --log s3://... --table s3://...
+                        tools/submit_entry.py replay --log /mnt/shared/log --table /mnt/shared/tbl
 (`tools/make_pyfiles.sh` builds the zip; submit_entry.py just calls main()).
+
+NOTE: the event-log and table paths must be on a filesystem visible to the
+driver via POSIX APIs (local disk, NFS, a FUSE mount of object storage) —
+TargetTable's commit/state/lineage metadata uses atomic os.replace, so a raw
+s3:// URI is not accepted.  Data files themselves are written by Spark and
+would work on any Hadoop filesystem; routing the metadata through the Hadoop
+FileSystem API is the known follow-up for direct object-store targets.
 
 Subcommands:
   generate   write a deterministic synthetic event log (+ optional snapshot)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bifrost_spark.functions.cache import register_cache
+
 # Mersenne-prime universal hashing for minhash permutations.  2^31-1 keeps
 # a*x+b within int64 under ANSI arithmetic (a,x < 2^31 → product < 2^62).
 _MERSENNE = (1 << 31) - 1
@@ -72,7 +74,8 @@ def minhash_lsh_candidates(
     # — narrow fixed-width rows — never the shingle/signature arrays, which
     # would otherwise be replicated ×bands through the blocking shuffle.
     # Payloads are fetched afterwards for just the (few) candidate pairs.
-    sig = sig.persist()
+    # (register_cache: callers release via functions.cache.release_caches.)
+    sig = register_cache(sig)
     banded = sig.select(
         "id",
         F.posexplode(

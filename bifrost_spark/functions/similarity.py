@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bifrost_spark.functions.cache import register_cache
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -90,8 +92,8 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing a bucket with the query
     in ANY of n_tables hash tables; exact cosine re-rank on candidates."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")).persist()
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")).persist()
+    c = register_cache(corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")))
+    q = register_cache(queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")))
     # Late materialization: the ×n_tables bucket join and the pair-dedup see
     # only (id, tbl, sig) — never the embedding arrays (which a dedup would
     # otherwise drag through a SortAggregate per pair).  Vectors are fetched

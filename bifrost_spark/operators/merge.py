@@ -16,10 +16,13 @@ protocol gives the same guarantees a MERGE INTO an Iceberg table would:
   last rewrote it.  Readers see the old state until the pointer moves;
   a crash mid-commit leaves only orphan files (GC-able), never a torn table.
 - **Idempotent commit manifests** (exactly-once, SURVEY.md §4 custom-work 2):
-  the manifest records every applied batch as ``(batch_id, min/max
-  event_id)``; per-bucket lineage metrics go to an append-only
-  ``_state/lineage.jsonl`` sidecar so the rewritten-every-commit state stays
-  O(batches), not O(batches × buckets).
+  the manifest records applied batches two ways — a bounded tail of recent
+  entries (observability) and ``applied_ranges``, a MERGED interval set of
+  committed event_id ranges.  The replay check is range containment, so the
+  state JSON stays **O(1)** over a 10^6-batch stream (ordered delivery makes
+  the ranges contiguous → they collapse to one interval), instead of growing
+  O(batches) and being rewritten every commit.  Per-bucket lineage metrics go
+  to an append-only ``_state/lineage.jsonl`` sidecar for the same reason.
   ``merge()`` first checks the applied set and no-ops on replay — the Spark
   rebuild of the reference's LastSuccessBinlog-only-on-commit discipline
   (/root/reference/server/to_server_consume.go:133-160,
@@ -69,6 +72,35 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in PK_COLUMNS]), F.lit(n_buckets)).cast("int")
 
 
+def _merge_ranges(ranges, max_intervals: int | None = None) -> list[list[int]]:
+    """Merge overlapping/adjacent [lo, hi] intervals into a minimal sorted
+    set, then (optionally) compact to ``max_intervals`` by bridging the
+    smallest gaps first.  Ordered replay commits contiguous event_id ranges,
+    so the merged set collapses toward ~1 interval and the manifest stays
+    O(1), not O(batches).  Bridging a gap claims its (never-delivered) ids as
+    covered — safe under the ordered commit discipline the range-containment
+    check requires anyway: an interval only commits after everything below
+    it, so an id strictly between two committed intervals corresponds to no
+    event (e.g. the odd-id gaps between even-id data chunks)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    if max_intervals is not None and len(out) > max_intervals:
+        gaps = sorted(range(len(out) - 1), key=lambda i: out[i + 1][0] - out[i][1])
+        bridge = set(gaps[: len(out) - max_intervals])
+        compacted = [out[0]]
+        for i in range(1, len(out)):
+            if (i - 1) in bridge:
+                compacted[-1][1] = out[i][1]
+            else:
+                compacted.append(out[i])
+        out = compacted
+    return out
+
+
 class TargetTable:
     """A single-writer, multi-reader upsert table (see module docstring)."""
 
@@ -89,7 +121,9 @@ class TargetTable:
             "registry": (registry or SchemaRegistry()).to_dict(),
             "schema_version": (registry or SchemaRegistry()).current_version,
             "buckets": {},
-            "applied": [],
+            "applied": [],          # bounded tail of recent commit entries
+            "applied_ranges": [],   # merged [lo, hi] event_id intervals (O(1) steady-state)
+            "n_commits": 0,
             "last_event_id": -1,
         }
         cls._write_snapshot(path, state)
@@ -113,6 +147,14 @@ class TargetTable:
             snap = f.read().strip()
         with open(os.path.join(self.path, "_state", f"{snap}.json")) as f:
             self.state = json.load(f)
+        # migrate pre-interval-manifest state (round-1 tables)
+        if "applied_ranges" not in self.state:
+            self.state["applied_ranges"] = _merge_ranges(
+                [a["min_event_id"], a["max_event_id"]]
+                for a in self.state["applied"]
+                if a.get("min_event_id") is not None
+            )
+            self.state["n_commits"] = len(self.state["applied"])
         self.registry = SchemaRegistry.from_dict(self.state["registry"])
 
     @property
@@ -121,7 +163,46 @@ class TargetTable:
 
     @property
     def applied_batch_ids(self) -> set[str]:
+        """Batch ids in the bounded recent tail (observability/back-compat;
+        the durable replay check is ``is_applied`` range containment)."""
         return {a["batch_id"] for a in self.state["applied"]}
+
+    def is_applied(self, batch_id: str, batch_range: tuple[int, int] | None = None,
+                   range_exclusive: bool = False) -> bool:
+        """Exactly-once replay check, O(log intervals): a batch is applied
+        if its id is in the recent tail OR (``range_exclusive`` only) its
+        event_id range is fully covered by the committed interval set.
+
+        Range containment is the durable signal — the tail is bounded, so
+        over a 10^6-batch stream old batch ids age out of it while their
+        ranges stay merged forever — but it is only VALID when the caller
+        delivers range-exclusive batches: every event_id inside a batch's
+        [min, max] belongs to that batch (binlog position ranges, ordered
+        chunk replay).  A streaming file source interleaves ids across
+        files, so one file's [min, max] spans ids other files deliver —
+        there the check falls back to the id tail, and redelivery beyond
+        the tail is still safe (not skipped, but a no-op) via the
+        commutative guard+tombstone merge."""
+        if batch_id in self.applied_batch_ids:
+            return True
+        if not range_exclusive or batch_range is None or batch_range[0] is None:
+            return False
+        lo, hi = batch_range
+        import bisect
+        ranges = self.state["applied_ranges"]
+        i = bisect.bisect_right([r[0] for r in ranges], lo) - 1
+        return i >= 0 and ranges[i][1] >= hi
+
+    def _record_applied(self, st: dict, entry: dict) -> None:
+        """Append a commit entry: bounded tail + merged interval set."""
+        tail_cap = int(os.environ.get("BIFROST_APPLIED_TAIL", "256"))
+        st["applied"] = (st["applied"] + [entry])[-tail_cap:]
+        st["n_commits"] = st.get("n_commits", 0) + 1
+        if entry.get("min_event_id") is not None and entry.get("max_event_id") is not None:
+            st["applied_ranges"] = _merge_ranges(
+                st.get("applied_ranges", []) + [[entry["min_event_id"], entry["max_event_id"]]],
+                max_intervals=int(os.environ.get("BIFROST_APPLIED_INTERVALS", "64")),
+            )
 
     @property
     def last_event_id(self) -> int:
@@ -195,7 +276,7 @@ class TargetTable:
     def bootstrap(self, snapshot_df: DataFrame, batch_id: str = "bootstrap") -> dict:
         """Initial full-sync load (reference "history", SURVEY.md §3.2):
         INSERT OVERWRITE of every bucket, event_id=0 rows."""
-        if batch_id in self.applied_batch_ids:
+        if self.is_applied(batch_id, (0, 0), range_exclusive=True):
             return {"skipped": True, "batch_id": batch_id}
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
@@ -207,10 +288,8 @@ class TargetTable:
         st["snapshot"] = snap
         st["schemas"] = {**st.get("schemas", {}), snap: df.schema.jsonValue()}
         st["buckets"] = {str(b): snap for b in written}
-        st["applied"] = st["applied"] + [
-            {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0, "n_ops": None, "kind": "bootstrap",
-             "committed_at": time.time()}
-        ]
+        self._record_applied(st, {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0,
+                                  "n_ops": None, "kind": "bootstrap", "committed_at": time.time()})
         self._write_snapshot(self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "buckets": len(written)}
@@ -255,7 +334,7 @@ class TargetTable:
         return total
 
     def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
-              schema_version: int | None = None) -> dict:
+              schema_version: int | None = None, range_exclusive: bool = False) -> dict:
         """MERGE the LWW-resolved ops (one terminal op per PK) into the table.
 
         Equivalent SQL (SURVEY.md §2.3 M1):
@@ -264,7 +343,7 @@ class TargetTable:
           WHEN MATCHED AND s.event_id > t.last_event_id THEN UPDATE SET *
           WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *
         """
-        if batch_id in self.applied_batch_ids:
+        if self.is_applied(batch_id, batch_range, range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
 
         sv = self.state["schema_version"] if schema_version is None else schema_version
@@ -292,6 +371,7 @@ class TargetTable:
                 F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
                 F.min("src_event_id").alias("min_event_id"),
                 F.max("src_event_id").alias("max_event_id"),
+                F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("content_bytes"),
             )
             .collect()
         )
@@ -335,22 +415,27 @@ class TargetTable:
             )
 
         n_ops = int(sum(r["rows_in"] for r in mrows))
-        bcast_rows = int(os.environ.get("BIFROST_BROADCAST_MERGE_ROWS", "300000"))
-        # Path choice is cost-based, not row-count-based: the broadcast
+        # Path choice is cost-based AND byte-based: the broadcast
         # decomposition only wins when the affected target data is much
         # larger than the batch (the steady-state shape at 100 TB, where it
-        # avoids shuffling the rewritten buckets).  When the table is
-        # comparable to the batch — bootstrap-adjacent merges, small tables —
-        # its three broadcast-relation builds cost more than simply
-        # shuffling both small sides.  Affected-target bytes come free from
-        # the bucket file map; batch bytes are estimated per resolved op.
+        # avoids shuffling the rewritten buckets) — and it is only SAFE when
+        # the broadcast relation actually fits executor memory, which is a
+        # byte bound, not a row bound (300k wide rows can be GBs).  Batch
+        # bytes here are MEASURED (payload lengths from the metrics agg just
+        # run), not estimated per-row; affected-target bytes come free from
+        # the bucket file map.
         tgt_bytes = self._bucket_bytes(affected)
-        src_bytes_est = n_ops * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
+        content_bytes = int(sum(r["content_bytes"] or 0 for r in mrows))
+        src_bytes_est = content_bytes + n_ops * int(os.environ.get("BIFROST_OP_OVERHEAD_BYTES", "128"))
+        bcast_max_bytes = int(os.environ.get("BIFROST_BROADCAST_MAX_BYTES", str(128 * 1024 * 1024)))
         bcast_ratio = float(os.environ.get("BIFROST_BCAST_TGT_RATIO", "4"))
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
 
-        if n_ops <= bcast_rows and tgt_bytes > bcast_ratio * src_bytes_est:
+        merge_path = "broadcast" if (
+            src_bytes_est <= bcast_max_bytes and tgt_bytes > bcast_ratio * src_bytes_est
+        ) else "shuffle"
+        if merge_path == "broadcast":
             # Broadcast-decomposed MERGE (batch ≪ table, the steady-state
             # shape at 100 TB): full outer join cannot broadcast, so split it
             #   1. tgt LEFT OUTER broadcast(src): updates/deletes/keeps —
@@ -417,27 +502,31 @@ class TargetTable:
             if s in live_snaps
         }
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
-        st["applied"] = st["applied"] + [
-            {
-                "batch_id": batch_id,
-                "min_event_id": batch_range[0],
-                "max_event_id": batch_range[1],
-                "kind": "merge",
-                "n_ops": int(sum(r["rows_in"] for r in mrows)),
-                "committed_at": time.time(),
-                "wall_ms": wall_ms,
-            }
-        ]
+        self._record_applied(st, {
+            "batch_id": batch_id,
+            "min_event_id": batch_range[0],
+            "max_event_id": batch_range[1],
+            "kind": "merge",
+            "n_ops": n_ops,
+            "committed_at": time.time(),
+            "wall_ms": wall_ms,
+        })
+        self._write_snapshot(self.path, st)
+        self._load_state()
         # Per-bucket lineage goes to an append-only sidecar, NOT the state
         # JSON: the state is rewritten on every commit, so embedding
         # O(buckets) metrics per batch would make each commit O(batches ×
-        # buckets) — unbounded at stream scale.  Lineage is advisory
-        # (keyed by batch_id, last line wins on crash-replay); the atomic
-        # CURRENT swing below remains the only commit point.
+        # buckets) — unbounded at stream scale.  Lineage is advisory and
+        # appended AFTER the atomic CURRENT swing (both merge paths do the
+        # same), so a lineage entry always refers to a committed batch; the
+        # crash window is committed-without-lineage, which a crash-replay
+        # repairs because the manifest skip path re-appends nothing and the
+        # entry is keyed by batch_id (last line wins).
         self._append_lineage(
             {
                 "batch_id": batch_id,
                 "wall_ms": wall_ms,
+                "merge_path": merge_path,
                 "metrics": [
                     {
                         "bucket": r["bucket"],
@@ -451,20 +540,20 @@ class TargetTable:
                 ],
             }
         )
-        self._write_snapshot(self.path, st)
-        self._load_state()
         return {
             "skipped": False,
             "batch_id": batch_id,
             "buckets_rewritten": len(affected),
-            "n_ops": int(sum(r["rows_in"] for r in mrows)),
+            "n_ops": n_ops,
+            "merge_path": merge_path,
+            "src_bytes_est": src_bytes_est,
             "lww_ms": lww_ms,
             "wall_ms": wall_ms,
         }
 
     def apply_ops(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
                   schema_version: int | None = None, n_ops_hint: int | None = None,
-                  lww_strategy: str = "agg") -> dict:
+                  lww_strategy: str = "agg", range_exclusive: bool = False) -> dict:
         """Apply RAW (un-deduped) keyed ops — cost-based physical choice:
 
         - batch ≪ table (the 100 TB steady state): resolve LWW first, then
@@ -481,18 +570,23 @@ class TargetTable:
           ``merge`` are preserved: a src op beats a table row only when
           strictly newer).
         """
-        if batch_id in self.applied_batch_ids:
+        if self.is_applied(batch_id, batch_range, range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
-        n_ops = n_ops_hint if n_ops_hint is not None else -1
-        bcast_rows = int(os.environ.get("BIFROST_BROADCAST_MERGE_ROWS", "300000"))
+        # The cost choice needs a batch size.  Callers on the hot path (the
+        # replay engine, the streaming job) pass the count they already have;
+        # an external caller without one gets a cheap count job here rather
+        # than being silently routed to the fused FULL-TABLE rewrite.
+        n_ops = n_ops_hint if n_ops_hint is not None else ops.count()
         tgt_bytes = self._bucket_bytes([int(b) for b in self.state["buckets"]])
-        src_bytes_est = max(n_ops, 0) * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
+        src_bytes_est = n_ops * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
+        bcast_max_bytes = int(os.environ.get("BIFROST_BROADCAST_MAX_BYTES", str(128 * 1024 * 1024)))
         bcast_ratio = float(os.environ.get("BIFROST_BCAST_TGT_RATIO", "4"))
-        if 0 <= n_ops <= bcast_rows and tgt_bytes > bcast_ratio * src_bytes_est:
+        if src_bytes_est <= bcast_max_bytes and tgt_bytes > bcast_ratio * src_bytes_est:
             from bifrost_spark.operators.lww import resolve_lww
 
             return self.merge(resolve_lww(ops, strategy=lww_strategy), batch_id=batch_id,
-                              batch_range=batch_range, schema_version=schema_version)
+                              batch_range=batch_range, schema_version=schema_version,
+                              range_exclusive=range_exclusive)
         return self._merge_fused(ops, batch_id, batch_range, schema_version)
 
     def _merge_fused(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
@@ -568,10 +662,9 @@ class TargetTable:
         st["buckets"] = {str(b): snap for b in written}
         st["schemas"] = {snap: out.schema.jsonValue()}
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
-        st["applied"] = st["applied"] + [
-            {"batch_id": batch_id, "min_event_id": batch_range[0], "max_event_id": batch_range[1],
-             "kind": "merge_fused", "n_ops": None, "committed_at": time.time(), "wall_ms": wall_ms}
-        ]
+        self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
+                                  "max_event_id": batch_range[1], "kind": "merge_fused",
+                                  "n_ops": None, "committed_at": time.time(), "wall_ms": wall_ms})
         self._write_snapshot(self.path, st)
         self._load_state()
         self._append_lineage(
@@ -645,10 +738,8 @@ class TargetTable:
         st["snapshot"] = snap
         st["buckets"] = {str(b): snap for b in written}
         st["schemas"] = {snap: keep.schema.jsonValue()}
-        st["applied"] = st["applied"] + [
-            {"batch_id": f"compact:{snap}", "kind": "compact", "n_ops": 0,
-             "tombstone_lwm": lwm, "committed_at": time.time()}
-        ]
+        self._record_applied(st, {"batch_id": f"compact:{snap}", "kind": "compact", "n_ops": 0,
+                                  "tombstone_lwm": lwm, "committed_at": time.time()})
         self._write_snapshot(self.path, st)
         self._load_state()
         return {"snapshot": snap, "buckets": len(written)}
@@ -679,16 +770,16 @@ class TargetTable:
         st = dict(self.state)
         st["snapshot"] = self._next_snapshot()
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
-        st["applied"] = st["applied"] + [
-            {"batch_id": batch_id, "min_event_id": batch_range[0], "max_event_id": batch_range[1],
-             "kind": "noop", "n_ops": 0, "committed_at": time.time()}
-        ]
+        self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
+                                  "max_event_id": batch_range[1], "kind": "noop", "n_ops": 0,
+                                  "committed_at": time.time()})
         self._write_snapshot(self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "n_ops": 0}
 
     # ------------------------------------------------------------------ DDL
-    def apply_ddl(self, query: str, batch_id: str, event_id: int) -> dict:
+    def apply_ddl(self, query: str, batch_id: str, event_id: int,
+                  range_exclusive: bool = False) -> dict:
         """Schema evolution — metadata-only commit (Iceberg-style).
 
         ADD/MODIFY/CHANGE/DROP COLUMN bump the registry; data files are not
@@ -697,7 +788,7 @@ class TargetTable:
         (/root/reference/plugin/clickhouse/src/alter_sql.go:59-330,
         /root/reference/Bristol/mysql/conn_dump.go:196-203).
         """
-        if batch_id in self.applied_batch_ids:
+        if self.is_applied(batch_id, (event_id, event_id), range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
         new_v = self.registry.apply_ddl(query)
         st = dict(self.state)
@@ -707,10 +798,9 @@ class TargetTable:
         if new_v.truncated:
             st["buckets"] = {}
         st["last_event_id"] = max(st["last_event_id"], event_id)
-        st["applied"] = st["applied"] + [
-            {"batch_id": batch_id, "min_event_id": event_id, "max_event_id": event_id,
-             "kind": "ddl", "query": query, "n_ops": 0, "committed_at": time.time()}
-        ]
+        self._record_applied(st, {"batch_id": batch_id, "min_event_id": event_id,
+                                  "max_event_id": event_id, "kind": "ddl", "query": query,
+                                  "n_ops": 0, "committed_at": time.time()})
         self._write_snapshot(self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "schema_version": new_v.version}

@@ -114,7 +114,8 @@ class ReplayEngine:
                 if hi is not None:
                     ddl = ddls[i]
                     results.append(
-                        self.table.apply_ddl(ddl["query"], batch_id=f"ddl:{ddl['event_id']}", event_id=ddl["event_id"])
+                        self.table.apply_ddl(ddl["query"], batch_id=f"ddl:{ddl['event_id']}",
+                                             event_id=ddl["event_id"], range_exclusive=self.ordered)
                     )
             return results
         finally:
@@ -137,11 +138,12 @@ class ReplayEngine:
         if n == 0:
             return []
         batch_id = f"merge:{lo}-{hi}"
-        if batch_id in self.table.applied_batch_ids:
+        if self.table.is_applied(batch_id, (lo, hi), range_exclusive=self.ordered):
             return [{"skipped": True, "batch_id": batch_id}]
         res = self.table.apply_ops(
             events_to_ops(seg), batch_id=batch_id, batch_range=(lo, hi),
             n_ops_hint=n, lww_strategy=self.lww_strategy,
+            range_exclusive=self.ordered,
         )
         res["stats_ms"] = round(stats_ms, 1)
         return [res]

@@ -40,10 +40,14 @@ def get_spark(
     # threads funnels them all through one ext4 mount, and the per-file
     # create/fsync contention grows with the thread count (measured: it
     # inverted the local[8]→local[32] scaling).  tmpfs is the faithful
-    # local-mode stand-in for per-executor NVMe.  Respected only if the
-    # user has not already set SPARK_LOCAL_DIRS / spark.local.dir.
+    # LOCAL-MODE stand-in for per-executor NVMe — and only local mode: on a
+    # real cluster (--master spark://... / yarn / k8s) shuffle spill exists
+    # to relieve memory pressure, and routing it to RAM-backed tmpfs would
+    # make large shuffles fail with ENOSPC exactly when they should have
+    # spilled to disk.  Respected only if the user has not already set
+    # SPARK_LOCAL_DIRS / spark.local.dir.
     local_dirs = os.environ.get("SPARK_LOCAL_DIRS")
-    if not local_dirs and os.path.isdir("/dev/shm"):
+    if not local_dirs and master.startswith("local[") and os.path.isdir("/dev/shm"):
         local_dirs = "/dev/shm/bifrost_spark_local"
 
     builder = (

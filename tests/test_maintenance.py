@@ -130,7 +130,7 @@ def test_cli_status_json(spark, tmp_path, capsys):
 
 def test_fused_lineage_bucket_rows(spark, tmp_path, monkeypatch):
     """Fused merges record per-bucket row counts from parquet footers."""
-    monkeypatch.setenv("BIFROST_BROADCAST_MERGE_ROWS", "0")  # force fused
+    monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", "0")  # force fused
     table = TargetTable.create(spark, str(tmp_path / "t"), n_buckets=4)
     ops = spark.createDataFrame(
         [("r", f"p{i}", "upsert", "c", "py", f"v{i}", None, 2 * (i + 1),

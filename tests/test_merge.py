@@ -208,7 +208,7 @@ def _ops(spark, rows):
 def test_fused_out_of_order_batches_commute(spark, tmp_path, monkeypatch):
     """The FUSED single-shuffle merge path must commute across disjoint
     batches exactly like the broadcast path (LWW union max is associative)."""
-    monkeypatch.setenv("BIFROST_BROADCAST_MERGE_ROWS", "0")  # force fused
+    monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", "0")  # force fused
     early = [("r", "a", "upsert", "c1", "py", "v1", None, 10),
              ("r", "a", "upsert", "c1b", "py", "v1b", None, 11),  # intra-batch dedup
              ("r", "b", "upsert", "c2", "go", "b1", None, 12)]
@@ -229,3 +229,49 @@ def test_fused_out_of_order_batches_commute(spark, tmp_path, monkeypatch):
     assert set(s1) == set(s2) == {("r", "b")}
     assert s1[("r", "b")]["content"] == s2[("r", "b")]["content"] == "b2"
     assert s1[("r", "b")]["last_event_id"] == 22
+
+
+def test_applied_ranges_stay_compact_and_skip_replay(spark, table, monkeypatch):
+    """The commit manifest must stay O(1) over many ordered batches (merged
+    interval set), and replay-skip must survive batch ids aging out of the
+    bounded tail (range containment, ordered/range-exclusive delivery)."""
+    monkeypatch.setenv("BIFROST_APPLIED_TAIL", "2")
+    for i in range(6):
+        lo = 2 + 4 * i
+        table.merge(
+            _resolved(spark, [("r", f"k{i}", "upsert", "c", "py", "v", None, lo)]),
+            batch_id=f"b{i}", batch_range=(lo, lo + 3), range_exclusive=True,
+        )
+    # contiguous ordered ranges collapse to ONE interval; tail is bounded
+    assert table.state["applied_ranges"] == [[2, 25]]
+    assert len(table.state["applied"]) == 2
+    assert table.state["n_commits"] == 6
+    # b0 aged out of the tail but its range is covered -> still skipped
+    assert "b0" not in table.applied_batch_ids
+    out = table.merge(
+        _resolved(spark, [("r", "k0", "upsert", "c", "py", "OLD", None, 2)]),
+        batch_id="b0", batch_range=(2, 5), range_exclusive=True,
+    )
+    assert out["skipped"] is True
+    # without range-exclusive delivery the same check must NOT skip
+    assert not table.is_applied("other", (2, 5), range_exclusive=False)
+
+
+def test_broadcast_gating_is_byte_based(spark, table, monkeypatch):
+    """A batch of few-but-wide rows must take the shuffle path when its
+    measured payload bytes exceed the broadcast cap, even though its row
+    count is tiny (the row-count gate of round 1 would have broadcast it)."""
+    table.merge(
+        _resolved(spark, [("r", f"seed{i}", "upsert", "c", "py", "x" * 10, None, 2 + 2 * i)
+                          for i in range(50)]),
+        batch_id="seed", batch_range=(2, 100),
+    )
+    monkeypatch.setenv("BIFROST_BCAST_TGT_RATIO", "0")  # always prefer broadcast...
+    monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", "5000")  # ...unless bytes exceed cap
+    wide = _resolved(spark, [("r", f"w{i}", "upsert", "c", "py", "y" * 4000, None, 200 + 2 * i)
+                             for i in range(3)])
+    out = table.merge(wide, batch_id="wide", batch_range=(200, 204))
+    assert out["merge_path"] == "shuffle" and out["src_bytes_est"] > 5000
+    narrow = _resolved(spark, [("r", "n1", "upsert", "c", "py", "z", None, 300)])
+    out2 = table.merge(narrow, batch_id="narrow", batch_range=(300, 300))
+    assert out2["merge_path"] == "broadcast"

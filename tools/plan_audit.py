@@ -100,7 +100,7 @@ def main() -> int:
 
     # 3. broadcast-decomposed merge: force the broadcast path with a tiny batch
     small = generate_events(spark, GeneratorConfig(n_events=200, n_keys=4_000, n_repos=40, seed=9))
-    os.environ["BIFROST_BROADCAST_MERGE_ROWS"] = "300000"
+    os.environ["BIFROST_BROADCAST_MAX_BYTES"] = str(512 * 1024 * 1024)
     os.environ["BIFROST_BCAST_TGT_RATIO"] = "0"  # force broadcast branch
     resolved = resolve_lww(events_to_ops(small)).persist()
     resolved.count()
