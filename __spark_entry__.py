@@ -567,12 +567,40 @@ def q_s6_debezium_roundtrip(spark, sf_dir):
     return _roundtrip_projection(decode_debezium_json(kafka))
 
 
+_REPLAY_CFG = dict(
+    n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
+    ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
+)
+_REPLAY_ORACLE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle", "cdc_replay_expected_v1.parquet"
+)
+
+
+def _ensure_replay_oracle() -> str:
+    """Materialize the Spark-free numpy/sequential-apply recompute of the
+    replay's expected final state (bifrost_spark.oracle_gen) as parquet, so
+    ``oracle_sql()['cdc_replay_e2e']`` can hand DuckDB a plain
+    read_parquet().  Deterministic for the fixed _REPLAY_CFG, so whichever
+    of queries()/oracle_sql() runs first writes the identical file."""
+    if not os.path.exists(_REPLAY_ORACLE_PATH):
+        from bifrost_spark.generator import GeneratorConfig
+        from bifrost_spark.oracle_gen import expected_final_state
+
+        os.makedirs(os.path.dirname(_REPLAY_ORACLE_PATH), exist_ok=True)
+        df = expected_final_state(GeneratorConfig(**_REPLAY_CFG))
+        tmp = _REPLAY_ORACLE_PATH + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, _REPLAY_ORACLE_PATH)
+    return _REPLAY_ORACLE_PATH
+
+
 def q_cdc_replay_e2e(spark, sf_dir):
     """The engine itself: generate a deterministic CDC stream (inserts,
     updates, deletes, PK-changing updates, DDL), bootstrap a snapshot, replay
     chunk-by-chunk through LWW+MERGE with manifests, return the final table
-    state. Correctness vs the sequential oracle is asserted in pytest
-    (tests/test_replay_e2e.py); here the driver checks stable schema/rows."""
+    state.  The driver oracle is a SPARK-FREE recompute: oracle_gen rebuilds
+    the same stream in numpy (bit-exact XXH64 reimplementation) and applies
+    it one event at a time — the north rule's sequential-reference check."""
     import shutil
     import tempfile
 
@@ -580,10 +608,8 @@ def q_cdc_replay_e2e(spark, sf_dir):
     from bifrost_spark.operators.merge import TargetTable
     from bifrost_spark.pipelines.replay import replay_event_log
 
-    cfg = GeneratorConfig(
-        n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
-        ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
-    )
+    _ensure_replay_oracle()
+    cfg = GeneratorConfig(**_REPLAY_CFG)
     work = tempfile.mkdtemp(prefix="bifrost_entry_")
     try:
         log = os.path.join(work, "log")
@@ -603,17 +629,198 @@ def q_cdc_replay_e2e(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates (scale path for Jaccard):
-    shingle → k minhashes → band buckets → candidate pairs within buckets."""
+    shingle → k minhashes → band buckets → candidate pairs within buckets.
+    Portable polynomial shingle hash so the DuckDB oracle recomputes the
+    IDENTICAL pipeline (signatures, banding-equality candidates, exact
+    Jaccard verify) end to end."""
     from bifrost_spark.functions.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", hash_fn="poly", seed=1
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash 64-bit fingerprints + hamming-band grouping."""
-    from bifrost_spark.functions.dedup import simhash_fingerprints
+    """SimHash near-dup DEDUP: 48-bit fingerprints, 4-band hamming blocking
+    (pigeonhole-exact for hamming <= 3), verified pairs."""
+    from bifrost_spark.functions.dedup import simhash_pairs
 
-    return simhash_fingerprints(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    return simhash_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        n_bits=48, bands=4, max_hamming=3, hash_fn="poly",
+    )
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH buckets (Arrow-batched matmul
+    signatures — O(1) plan size at any dim) + exact cosine re-rank on
+    candidates.  Quantized projection bits make the bucket assignment
+    engine-independent, so the DuckDB oracle reproduces the exact candidate
+    set and ranking."""
+    from bifrost_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    return lsh_bucketed_topk(
+        emb, q, dim=64, k=5, n_planes=8, n_tables=2, seed=7, signature_impl="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders for the portable-hash ops
+# --------------------------------------------------------------------------
+
+def _poly_sql(strexpr: str, *, mod: int | None = None, mask: int | None = None) -> str:
+    """DuckDB recompute of functions.dedup.poly_hash: fold (h*31 + ord(c))
+    reduced per step by mod (Mersenne) or mask (power of two)."""
+    red = f"% {mod}" if mod is not None else f"& {mask}"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split_regex({strexpr}, ''), c -> c <> ''), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        f"(a, b) -> (a*31 + b) {red})"
+    )
+
+
+def _minhash_lsh_oracle_sql(n_gram: int = 3, k: int = 32, bands: int = 8,
+                            min_jaccard: float = 0.5, seed: int = 1) -> str:
+    """Full SQL recompute of minhash_lsh_candidates(hash_fn='poly'): same
+    tokens → grams → poly shingle hashes → k universal-hash minima → band
+    buckets (equality on the raw signature slice — pair membership depends
+    only on slice equality, so the engine's xxhash banding is equivalent) →
+    exact Jaccard verification."""
+    M = (1 << 31) - 1
+    rpb = k // bands
+    terms = []
+    for i in range(k):
+        a = (seed * 1_000_003 + i * 92_821) % M or 1
+        b = (seed * 689_287 + i * 283_111) % M
+        terms.append(f"list_min(list_transform(sh, x -> ({a}*x + {b}) % {M}))")
+    sig = "[" + ", ".join(terms) + "]"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(range(0, greatest(len(tk) - {n_gram}, 0) + 1),
+                                  i -> array_to_string(tk[i+1:i+{n_gram}], ' ')),
+                   g -> g <> '') AS gs
+          FROM toks
+        ), shingled AS (
+          SELECT doc_id, list_distinct(list_transform(gs, g -> {_poly_sql('g', mod=M)})) AS sh
+          FROM grams
+        ), sigs AS (
+          SELECT doc_id, sh, {sig} AS sig FROM shingled
+        ), banded AS (
+          SELECT doc_id, b AS band, array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',') AS bucket
+          FROM sigs, range({bands}) t(b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), scored AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_filter(range({k}), i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / {k}.0 AS est,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+          FROM pairs p
+          JOIN sigs sa ON p.doc_a = sa.doc_id
+          JOIN sigs sb ON p.doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b, round(est, 6) AS est_jaccard, round(jac, 6) AS jaccard
+        FROM scored WHERE jac >= {min_jaccard}
+    """
+
+
+def _simhash_oracle_sql(n_bits: int = 48, bands: int = 4, max_hamming: int = 3) -> str:
+    """Full SQL recompute of simhash_pairs(hash_fn='poly'): token poly
+    hashes → per-bit +1/-1 voting → fingerprint → band blocking → verified
+    hamming pairs.  Empty-token docs keep fp=0 (COALESCE) to match the
+    engine's aggregate-over-empty-array semantics."""
+    mask = (1 << n_bits) - 1
+    bpb = n_bits // bands
+    bmask = (1 << bpb) - 1
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tk
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, list_transform(tk, t -> {_poly_sql('t', mask=mask)}) AS hs
+          FROM toks
+        ), votes AS (
+          SELECT doc_id, i, sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, UNNEST(hs) AS u(h), range({n_bits}) r(i)
+          GROUP BY doc_id, i
+        ), fp0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+          FROM votes GROUP BY doc_id
+        ), fp AS (
+          SELECT t.doc_id, COALESCE(f.fp, 0) AS fp FROM toks t LEFT JOIN fp0 f USING (doc_id)
+        ), banded AS (
+          SELECT doc_id, b AS band, (fp >> CAST(b*{bpb} AS INTEGER)) & {bmask} AS band_val
+          FROM fp, range({bands}) t(b)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+        FROM pairs p JOIN fp fa ON p.doc_a = fa.doc_id JOIN fp fb ON p.doc_b = fb.doc_id
+        WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, n_planes: int = 8,
+                        n_tables: int = 2, seed: int = 7) -> str:
+    """Full SQL recompute of lsh_bucketed_topk: identical hyperplane
+    literals (rounded to 6 decimals from the shared seeded generator),
+    quantized projection bits, exact cosine re-rank.  list_dot_product is a
+    sequential fold like the engine's F.aggregate, so sims are bit-equal."""
+    from bifrost_spark.functions.similarity import hyperplanes
+
+    P = hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucket(vexpr: str, t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in P[t, p]) + "]"
+            terms.append(
+                f"(CASE WHEN round(list_dot_product({vexpr}, {lit}), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    sig_selects = "\n          UNION ALL\n".join(
+        f"          SELECT vec_id, {t} AS tbl, {bucket('v', t)} AS sig FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        ), cb AS (
+{sig_selects}
+        ), qb AS (
+          SELECT vec_id AS query_id, tbl, sig FROM cb WHERE vec_id < 20
+        ), pairs AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.sig = c.sig AND q.query_id <> c.vec_id
+        ), scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS sim
+          FROM pairs p JOIN e qe ON p.query_id = qe.vec_id JOIN e ce ON p.neighbor_id = ce.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 # --------------------------------------------------------------------------
@@ -651,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "sim_ann_lsh": q_sim_ann_lsh,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
     }
@@ -862,8 +1070,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(length(lower(regexp_replace(text, ' +', ' ', 'g'))) / 100) AS BIGINT) AS len_bucket
             FROM documents
         """,
-        # cdc_replay_e2e / dedup_minhash_lsh / dedup_simhash: intentionally
-        # no SQL oracle (full engine replay & hash-internal ops) → rows-only.
+        "cdc_replay_e2e": f"""
+            SELECT repo, path, commit, lang, content_sha, last_event_id
+            FROM read_parquet('{_ensure_replay_oracle()}')
+        """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "s6_canal_roundtrip": """
             SELECT event_id,
                    CASE event_type WHEN 'signup' THEN 'insert'

@@ -31,11 +31,36 @@ def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(F.lower(text_col), "[^\\p{L}\\p{N}]+"), lambda t: t != "")
 
 
-def shingles(text_col: Column, n: int = 3) -> Column:
+def _tokens_ascii(text_col: Column) -> Column:
+    """ASCII-only tokenizer for the cross-engine-portable hash mode (the
+    DuckDB oracle recomputes the identical tokens/hashes)."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def poly_hash(col: Column, mod: int | None = None, mask: int | None = None) -> Column:
+    """Polynomial string hash h = fold(h*31 + codepoint), reduced per step by
+    ``mod`` (Mersenne prime — minhash input domain) or ``mask`` (power-of-two
+    bits — simhash fingerprint domain).  Integer-exact and trivially
+    re-expressible in any SQL engine (the DuckDB oracles recompute it with
+    list_reduce), unlike xxhash64 which only Spark evaluates.  Used by the
+    oracle-checked entries; the xxhash64 variants remain the throughput
+    default (single JVM intrinsic vs a per-character fold)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    if mod is not None:
+        step = lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(mod))  # noqa: E731
+    else:
+        step = lambda acc, c: (acc * 31 + F.ascii(c)).bitwiseAND(F.lit(mask))  # noqa: E731
+    return F.aggregate(chars, F.lit(0).cast("long"), step)
+
+
+def shingles(text_col: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
     """Word n-gram shingle set (distinct), as hashed 64-bit values."""
-    toks = _tokens(text_col)
+    toks = _tokens_ascii(text_col) if hash_fn == "poly" else _tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = F.filter(grams, lambda g: g != "")
+    if hash_fn == "poly":
+        return F.array_distinct(F.transform(grams, lambda g: poly_hash(g, mod=_MERSENNE)))
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
@@ -61,14 +86,22 @@ def minhash_lsh_candidates(
     k: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    seed: int = 1,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, exact-verified
-    with true shingle Jaccard.  Returns (doc_a, doc_b, est_jaccard, jaccard)."""
+    with true shingle Jaccard.  Returns (doc_a, doc_b, est_jaccard, jaccard).
+
+    ``hash_fn="poly"`` switches shingle hashing to the portable polynomial
+    hash so a DuckDB oracle can recompute the identical candidate set; the
+    banding hash stays xxhash64 — pair membership depends only on band-slice
+    EQUALITY, which any hash preserves, so the oracle can band on the raw
+    slice values instead."""
     rows_per_band = k // bands
     sig = docs.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n_gram).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k=k))
+        shingles(F.col(text_col), n_gram, hash_fn=hash_fn).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k=k, seed=seed))
 
     # Late materialization: the band self-join sees ONLY (id, band, bucket)
     # — narrow fixed-width rows — never the shingle/signature arrays, which
@@ -123,28 +156,86 @@ def simhash_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix_bits: int = 16,
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc + prefix band for hamming-ball blocking.
+    """``n_bits`` SimHash fingerprint per doc.
 
     Bit-voting without Python: for each bit position, sum(+1/-1 over token
-    hashes) via array transforms; bit set iff the vote is positive.
+    hashes) via array transforms; bit set iff the vote is strictly positive.
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    toks = F.array_distinct(_tokens_ascii(F.col(text_col)) if hash_fn == "poly" else _tokens(F.col(text_col)))
+    if hash_fn == "poly":
+        hashes = F.transform(toks, lambda t: poly_hash(t, mask=(1 << n_bits) - 1))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
     def vote(i: int):
         return lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(n_bits)]
     fp = None
     for i, v in enumerate(bit_votes):
         bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        fp.alias("simhash"),
-    ).withColumn("band", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """SimHash near-dup DEDUP (not just fingerprints): multi-band hamming
+    blocking + exact hamming verification.  Returns (doc_a, doc_b, hamming).
+
+    Pigeonhole guarantee: with ``bands`` bands of ``n_bits/bands`` bits, any
+    pair within hamming distance ``bands - 1`` shares at least one unchanged
+    band, so ``max_hamming <= bands - 1`` gives EXACT (recall-1.0) results —
+    unlike the single-prefix blocking of round 1, which missed any near-dup
+    differing inside the prefix.  The band self-join sees only (id, band,
+    band_value) narrow rows; fingerprints join back for the (few) candidate
+    pairs; the band groupBy is the only wide dependency and its keys are
+    uniform by construction (hash bits).
+    """
+    assert n_bits % bands == 0, "n_bits must divide into equal bands"
+    bits_per_band = n_bits // bands
+    band_mask = (1 << bits_per_band) - 1
+    fp = simhash_fingerprints(docs, text_col, id_col, n_bits=n_bits, hash_fn=hash_fn)
+    fp = register_cache(fp)
+    banded = fp.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * bits_per_band).bitwiseAND(F.lit(band_mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.join(fa, "doc_a").join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

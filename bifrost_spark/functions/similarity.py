@@ -58,24 +58,68 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane as an array<double> literal
-    expression: component_j = U(seed, plane, j)*2-1."""
-    comps = [
-        (F.pmod(F.xxhash64(F.lit(seed), F.lit(plane_idx), F.lit(j)), F.lit(1_000_000)) / 500_000.0 - 1.0)
-        for j in range(dim)
-    ]
-    return F.array(*comps)
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+    """Deterministic random hyperplanes, shape (n_tables, n_planes, dim),
+    components rounded to 6 decimals.  Rounding makes every component an
+    exact short decimal, so an oracle in ANY engine (DuckDB SQL literals,
+    numpy, the JVM) reconstructs bit-identical planes from the same seed."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return np.round(rng.uniform(-1.0, 1.0, size=(n_tables, n_planes, dim)), 6)
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 12, table: int = 0, seed: int = 7) -> Column:
-    """Random-hyperplane signature: one bit per plane (sign of projection)."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = _dot(vec, _hyperplane(dim, table * 1000 + p, seed))
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseXOR(F.shiftleft(bit, p))
-    return sig
+def _quantized_bit(proj: Column) -> Column:
+    """Signature bit = round(projection, 6) >= 0.  The rounding removes the
+    sign discontinuity for cross-engine determinism: engines disagree on a
+    dot product by at most ~1 ulp, and any |dot| below the rounding quantum
+    collapses to ±0.0 which compares >= 0 everywhere."""
+    return F.when(F.round(proj, 6) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+def lsh_signatures_expr(vec: Column, planes) -> Column:
+    """Signatures for every table as array<long> — literal-expression path.
+    Builds n_tables × n_planes × dim literal nodes: fine at sandbox dims,
+    but at dim 768 this is ~10^4 Catalyst expressions — use the pandas path
+    (``lsh_signatures_pandas``) there; both produce identical signatures."""
+    n_tables, n_planes, dim = planes.shape
+    sigs = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+            sig = sig.bitwiseXOR(F.shiftleft(_quantized_bit(_dot(vec, plane)), p))
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
+def lsh_signatures_pandas(vec: Column, planes) -> Column:
+    """Signatures for every table as array<long> — Arrow-batched numpy
+    matmul.  One (batch × dim) @ (dim × tables·planes) product per Arrow
+    batch regardless of dim, so the plan stays O(1) expressions at dim 768+
+    (the literal path would be ~23k Catalyst nodes there)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim)  # captured, broadcast with the task
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sig_fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (np.round(V @ flat.T, 6) >= 0).astype(np.int64)  # (n, T*P)
+        sigs = bits.reshape(len(V), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(sigs))
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot introspect
+    sig_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(sig_fn, ArrayType(LongType()))
+    return sig_udf(vec)
 
 
 def lsh_bucketed_topk(
@@ -89,9 +133,16 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    signature_impl: str = "pandas",
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing a bucket with the query
-    in ANY of n_tables hash tables; exact cosine re-rank on candidates."""
+    in ANY of n_tables hash tables; exact cosine re-rank on candidates.
+
+    ``signature_impl``: "pandas" (default — Arrow matmul, O(1) plan size at
+    any dim) or "expr" (pure Catalyst literals; only for small dims).  Both
+    produce identical signatures (quantized-projection bits)."""
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
     c = register_cache(corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")))
     q = register_cache(queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")))
     # Late materialization: the ×n_tables bucket join and the pair-dedup see
@@ -99,19 +150,11 @@ def lsh_bucketed_topk(
     # otherwise drag through a SortAggregate per pair).  Vectors are fetched
     # after, for candidate pairs only.
     c_b = c.select(
-        "neighbor_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("tbl"), lsh_signature(F.col("cv"), dim, n_planes, t, seed).alias("sig"))
-                      for t in range(n_tables)])
-        ).alias("bkt"),
-    ).select("neighbor_id", "bkt.tbl", "bkt.sig")
+        "neighbor_id", F.posexplode(sig_fn(F.col("cv"), planes)).alias("tbl", "sig")
+    )
     q_b = q.select(
-        query_id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("tbl"), lsh_signature(F.col("qv"), dim, n_planes, t, seed).alias("sig"))
-                      for t in range(n_tables)])
-        ).alias("bkt"),
-    ).select(query_id_col, "bkt.tbl", "bkt.sig")
+        query_id_col, F.posexplode(sig_fn(F.col("qv"), planes)).alias("tbl", "sig")
+    )
 
     pairs = (
         q_b.join(c_b, on=["tbl", "sig"])

@@ -296,3 +296,47 @@ def write_event_log(df: DataFrame, path: str, n_chunks: int = 16, files_per_chun
         .mode("overwrite")
         .parquet(path)
     )
+    write_chunk_index(df.sparkSession, path)
+
+
+def write_chunk_index(spark: SparkSession, path: str) -> None:
+    """Write ``_chunks.json``: per-chunk (n_data, min/max event_id, DDL list).
+
+    A real CDC source knows this without scanning payloads — a binlog dump
+    carries positions on every envelope and DDLs arrive inline; Kafka batches
+    carry offset ranges.  The replay engine uses the index to skip its
+    per-batch pre-scan stats job (one driver round-trip + a column scan per
+    micro-batch — pure fixed overhead that extra cores cannot reduce).  The
+    index is derived here with ONE column-pruned scan of the written log at
+    setup time; batches without an index entry fall back to the scan path.
+    """
+    import json
+    import os
+
+    df = spark.read.parquet(path).select("chunk", "event_id", "event_type", "query")
+    is_data = F.col("event_type").isin("insert", "update", "delete")
+    rows = (
+        df.groupBy("chunk")
+        .agg(
+            F.count(F.when(is_data, 1)).alias("n_data"),
+            F.min(F.when(is_data, F.col("event_id"))).alias("lo"),
+            F.max(F.when(is_data, F.col("event_id"))).alias("hi"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
+            ).alias("ddls"),
+        )
+        .collect()
+    )
+    index = {
+        f"chunk={r['chunk']}": {
+            "n_data": r["n_data"],
+            "lo": r["lo"],
+            "hi": r["hi"],
+            "ddls": [{"event_id": d["event_id"], "query": d["query"]} for d in r["ddls"]],
+        }
+        for r in rows
+    }
+    tmp = os.path.join(path, "_chunks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_chunks.json"))

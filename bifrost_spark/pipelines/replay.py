@@ -63,23 +63,36 @@ class ReplayEngine:
         res["kind"] = "auto_compact"
         return res
 
-    def apply_batch(self, events: DataFrame) -> list[dict]:
+    def apply_batch(self, events: DataFrame, hints: dict | None = None) -> list[dict]:
         """Apply one micro-batch: split at DDL barriers, then per segment
         resolve-LWW + MERGE; DDLs commit as metadata-only snapshots in
         event_id order.
 
         Driver-job economy (this matters for scaling efficiency — each
         driver-synchronized Spark job carries fixed scheduling latency that
-        extra cores cannot reduce): ONE column-pruned aggregation job yields
-        everything the planner needs — the DDL list (always a handful, per
-        the reference's DDL frequency), the live-event count, and the
-        event_id range with the stale-skip high-water mark already applied.
-        The common no-DDL batch then runs exactly one more job pair
-        (metrics + merge-write) inside ``TargetTable.merge``.
+        extra cores cannot reduce): with source-supplied ``hints``
+        (``{"n_data", "lo", "hi", "ddls"}`` — a binlog source knows its
+        position range and sees DDLs inline; ``write_event_log`` persists
+        them as ``_chunks.json``), the common no-DDL batch runs ZERO
+        pre-scan jobs — only the merge itself.  Without hints, ONE
+        column-pruned aggregation job yields everything the planner needs —
+        the DDL list, the live-event count, and the event_id range with the
+        stale-skip high-water mark already applied.  Hints are trusted only
+        when the whole batch is ahead of the committed high-water mark;
+        a partially-replayed batch (crash resume) falls back to the scan.
         """
         lwm = self.table.last_event_id if self.ordered else -1
         is_data = F.col("event_type").isin("insert", "update", "delete")
         live = is_data & (F.col("event_id") > F.lit(lwm))
+        if (
+            hints is not None
+            and not hints.get("ddls")
+            and hints.get("lo") is not None
+            and hints["lo"] > lwm
+        ):
+            return self._merge_segment(
+                events.filter(is_data), n=hints["n_data"], lo=hints["lo"], hi=hints["hi"],
+            )
         t0 = time.time()
         stats = events.agg(
             F.count(F.when(live, 1)).alias("n"),
@@ -166,12 +179,19 @@ def replay_event_log(
     engine = ReplayEngine(table, lww_strategy, ordered=ordered,
                           auto_compact_snapshots=auto_compact_snapshots)
     chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
+    index: dict = {}
+    try:
+        import json
+        with open(os.path.join(log_path, "_chunks.json")) as f:
+            index = json.load(f)
+    except (FileNotFoundError, ValueError):
+        pass
     results: list[dict] = []
     for chunk in chunks[start_chunk:end_chunk]:
         # explicit schema: chunk files carry exactly EVENT_SCHEMA, and
         # skipping footer inference saves one driver job per micro-batch.
         df = spark.read.schema(EVENT_SCHEMA).parquet(os.path.join(log_path, chunk))
-        results.extend(engine.apply_batch(df))
+        results.extend(engine.apply_batch(df, hints=index.get(chunk)))
         m = engine.maybe_maintain()
         if m is not None:
             results.append(m)
