@@ -567,6 +567,73 @@ def q_s6_debezium_roundtrip(spark, sf_dir):
     return _roundtrip_projection(decode_debezium_json(kafka))
 
 
+def q_s6_customer_json_roundtrip(spark, sf_dir):
+    """S6: customer-json wire round-trip — arbitrary-producer JSON with
+    config-driven dotted paths (meta.db / meta.op / rows.new / rows.old) and
+    a wire-value → op mapping (c/u/d), decoded by
+    sources.kafka_formats.decode_customer_json.  The oracle recomputes the
+    expected decode directly from the events table.
+    Ref: /root/reference/input/kafka/input_customer_json_data.go:60-105,
+    /root/reference/plugin/driver/customer_json.go:173-215."""
+    from bifrost_spark.sources.kafka_formats import CustomerJsonConfig, decode_customer_json
+
+    ev = _ev(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    row, old = _canal_rowmaps(ev)
+    msg = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit("app").alias("db"), F.lit("events").alias("tbl"), op.alias("op")
+            ).alias("meta"),
+            F.struct(row.alias("new"), F.when(op == "u", old).alias("old")).alias("rows"),
+        )
+    )
+    kafka = ev.select(
+        F.lit("cdc").alias("topic"), F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"), msg.alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    cfg = CustomerJsonConfig(
+        database_path="meta.db", table_path="meta.tbl", pks=["repo", "path"],
+        event_type_path="meta.op",
+        event_type_vals={"c": "insert", "u": "update", "d": "delete"},
+        insert_path="rows.new", update_new_path="rows.new",
+        update_old_path="rows.old", delete_path="rows.new",
+    )
+    return _roundtrip_projection(decode_customer_json(kafka, cfg))
+
+
+def q_s6_string_roundtrip(spark, sf_dir):
+    """S6: raw-string format — the whole Kafka message becomes one insert
+    row keyed (topic, partition, offset) with queue metadata columns.
+    Ref: /root/reference/input/kafka/input_string_data.go:39-80."""
+    from bifrost_spark.sources.kafka_formats import decode_string
+
+    ev = _ev(spark, sf_dir)
+    kafka = ev.select(
+        F.lit("raw").alias("topic"), F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key"),
+        F.col("props").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    out = decode_string(kafka)
+    return out.select(
+        "event_id", "event_type", "schema_name", "table_name", "gtid",
+        F.col("after.repo").alias("after_repo"),
+        F.col("after.path").alias("after_path"),
+        F.col("after.content").alias("after_content"),
+        F.col("after.extra")["queue_key"].alias("queue_key"),
+        F.col("after.extra")["queue_partition"].alias("queue_partition"),
+        F.col("after.extra")["queue_offset"].alias("queue_offset"),
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_sec"),
+    )
+
+
 _REPLAY_CFG = dict(
     n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
     ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
@@ -861,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
+        "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
+        "s6_string_roundtrip": q_s6_string_roundtrip,
     }
 
 
@@ -1069,6 +1138,37 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint,
                    CAST(floor(length(lower(regexp_replace(text, ' +', ' ', 'g'))) / 100) AS BIGINT) AS len_bucket
             FROM documents
+        """,
+        "s6_customer_json_roundtrip": """
+            SELECT event_id,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS event_type,
+                   'app' AS schema_name, 'events' AS table_name,
+                   'cdc:0:' || CAST(event_id AS VARCHAR) AS gtid,
+                   CASE WHEN event_type = 'signup' THEN NULL ELSE urepo END AS before_repo,
+                   CASE WHEN event_type = 'error' THEN c
+                        WHEN event_type = 'signup' THEN NULL
+                        ELSE 'prev' END AS before_content,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE urepo END AS after_repo,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE c END AS after_content,
+                   date_trunc('second', ts) AS ts_sec
+            FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                         'u' || CAST(user_id AS VARCHAR) AS urepo
+                  FROM events)
+        """,
+        "s6_string_roundtrip": """
+            SELECT event_id, 'insert' AS event_type, 'raw' AS schema_name,
+                   'queue_data' AS table_name,
+                   'raw:0:' || CAST(event_id AS VARCHAR) AS gtid,
+                   'raw' AS after_repo,
+                   '0:' || CAST(event_id AS VARCHAR) AS after_path,
+                   props AS after_content,
+                   'k' || CAST(event_id AS VARCHAR) AS queue_key,
+                   '0' AS queue_partition,
+                   CAST(event_id AS VARCHAR) AS queue_offset,
+                   date_trunc('second', ts) AS ts_sec
+            FROM events
         """,
         "cdc_replay_e2e": f"""
             SELECT repo, path, commit, lang, content_sha, last_event_id

@@ -89,10 +89,23 @@ def classify_query(sql: str) -> DDLOp:
         sch, tbl = _split_ident(s[m.start(1) : m.end(1)])
         return DDLOp(kind="drop_table", schema_name=sch, table_name=tbl, raw=sql)
 
-    m = re.match(r"^create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.`]+)", low)
+    m = re.match(r"^create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.`]+)\s*(\(.*\))?\s*$", low, re.DOTALL)
     if m:
         sch, tbl = _split_ident(s[m.start(1) : m.end(1)])
-        return DDLOp(kind="create_table", schema_name=sch, table_name=tbl, raw=sql)
+        cols: list[DDLOp] = []
+        if m.group(2):
+            body = s[m.start(2) + 1 : m.end(2) - 1]  # original case, parens stripped
+            for sec in _split_toplevel_commas(body):
+                cm = re.match(
+                    r"^(?!primary\b|unique\b|key\b|index\b|constraint\b|foreign\b|fulltext\b)"
+                    r"`?(\w+)`?\s+([\w()',\s]+?)(?:\s+(?:null|not\s+null|default\b.*|comment\b.*))?$",
+                    sec.strip().lower(),
+                )
+                if cm:
+                    cols.append(DDLOp("add_column", sch, tbl, column=cm.group(1),
+                                      logical_type=_norm_type(cm.group(2)), raw=sql))
+        return DDLOp(kind="create_table", schema_name=sch, table_name=tbl, raw=sql,
+                     sections=tuple(cols))
 
     m = re.match(r"^rename\s+table\s+([\w.`]+)\s+to\s+([\w.`]+)", low)
     if m:
@@ -111,10 +124,7 @@ def classify_query(sql: str) -> DDLOp:
     return DDLOp(kind="other", is_ddl=True, raw=sql)
 
 
-def _parse_alter_sections(body: str, sch: str | None, tbl: str, raw: str) -> list[DDLOp]:
-    """Split an ALTER body on top-level commas and parse each section —
-    the same comma-section dispatch as alter_sql.go:59-186 (index/partition/
-    FK sections are dropped there too)."""
+def _split_toplevel_commas(body: str) -> list[str]:
     sections: list[str] = []
     depth, cur = 0, []
     for ch in body:
@@ -129,6 +139,14 @@ def _parse_alter_sections(body: str, sch: str | None, tbl: str, raw: str) -> lis
             cur.append(ch)
     if cur:
         sections.append("".join(cur))
+    return sections
+
+
+def _parse_alter_sections(body: str, sch: str | None, tbl: str, raw: str) -> list[DDLOp]:
+    """Split an ALTER body on top-level commas and parse each section —
+    the same comma-section dispatch as alter_sql.go:59-186 (index/partition/
+    FK sections are dropped there too)."""
+    sections = _split_toplevel_commas(body)
 
     ops: list[DDLOp] = []
     for sec in sections:

@@ -313,7 +313,7 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
     import json
     import os
 
-    df = spark.read.parquet(path).select("chunk", "event_id", "event_type", "query")
+    df = spark.read.parquet(path).select("chunk", "event_id", "event_type", "query", "gtid")
     is_data = F.col("event_type").isin("insert", "update", "delete")
     rows = (
         df.groupBy("chunk")
@@ -321,6 +321,8 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
             F.count(F.when(is_data, 1)).alias("n_data"),
             F.min(F.when(is_data, F.col("event_id"))).alias("lo"),
             F.max(F.when(is_data, F.col("event_id"))).alias("hi"),
+            F.min_by(F.col("gtid"), F.col("event_id")).alias("gtid_first"),
+            F.max_by(F.col("gtid"), F.col("event_id")).alias("gtid_last"),
             F.sort_array(
                 F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
             ).alias("ddls"),
@@ -332,6 +334,8 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
             "n_data": r["n_data"],
             "lo": r["lo"],
             "hi": r["hi"],
+            "gtid_first": r["gtid_first"],
+            "gtid_last": r["gtid_last"],
             "ddls": [{"event_id": d["event_id"], "query": d["query"]} for d in r["ddls"]],
         }
         for r in rows

@@ -208,6 +208,19 @@ class TargetTable:
     def last_event_id(self) -> int:
         return self.state["last_event_id"]
 
+    @property
+    def gtid_executed(self) -> str:
+        """MySQL-interop view of the applied set (``gtid.GtidSet`` string);
+        the event_id interval manifest stays the exactly-once authority."""
+        return self.state.get("gtid_executed", "")
+
+    @staticmethod
+    def _union_gtid(st: dict, gtid_set: str | None) -> None:
+        if gtid_set:
+            from bifrost_spark.gtid import GtidSet
+
+            st["gtid_executed"] = str(GtidSet.parse(st.get("gtid_executed")).union(gtid_set))
+
     def _next_snapshot(self) -> str:
         return f"v{int(self.state['snapshot'][1:]) + 1:08d}"
 
@@ -334,7 +347,8 @@ class TargetTable:
         return total
 
     def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
-              schema_version: int | None = None, range_exclusive: bool = False) -> dict:
+              schema_version: int | None = None, range_exclusive: bool = False,
+              gtid_set: str | None = None) -> dict:
         """MERGE the LWW-resolved ops (one terminal op per PK) into the table.
 
         Equivalent SQL (SURVEY.md §2.3 M1):
@@ -502,6 +516,7 @@ class TargetTable:
             if s in live_snaps
         }
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        self._union_gtid(st, gtid_set)
         self._record_applied(st, {
             "batch_id": batch_id,
             "min_event_id": batch_range[0],
@@ -553,7 +568,8 @@ class TargetTable:
 
     def apply_ops(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
                   schema_version: int | None = None, n_ops_hint: int | None = None,
-                  lww_strategy: str = "agg", range_exclusive: bool = False) -> dict:
+                  lww_strategy: str = "agg", range_exclusive: bool = False,
+                  gtid_set: str | None = None) -> dict:
         """Apply RAW (un-deduped) keyed ops — cost-based physical choice:
 
         - batch ≪ table (the 100 TB steady state): resolve LWW first, then
@@ -586,11 +602,11 @@ class TargetTable:
 
             return self.merge(resolve_lww(ops, strategy=lww_strategy), batch_id=batch_id,
                               batch_range=batch_range, schema_version=schema_version,
-                              range_exclusive=range_exclusive)
-        return self._merge_fused(ops, batch_id, batch_range, schema_version)
+                              range_exclusive=range_exclusive, gtid_set=gtid_set)
+        return self._merge_fused(ops, batch_id, batch_range, schema_version, gtid_set=gtid_set)
 
     def _merge_fused(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
-                     schema_version: int | None = None) -> dict:
+                     schema_version: int | None = None, gtid_set: str | None = None) -> dict:
         sv = self.state["schema_version"] if schema_version is None else schema_version
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
@@ -662,6 +678,7 @@ class TargetTable:
         st["buckets"] = {str(b): snap for b in written}
         st["schemas"] = {snap: out.schema.jsonValue()}
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        self._union_gtid(st, gtid_set)
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
                                   "max_event_id": batch_range[1], "kind": "merge_fused",
                                   "n_ops": None, "committed_at": time.time(), "wall_ms": wall_ms})
@@ -702,6 +719,52 @@ class TargetTable:
             except (FileNotFoundError, OSError):
                 out[str(b)] = -1
         return out
+
+    def quarantine(self, events: DataFrame, batch_id: str, batch_range: tuple[int, int],
+                   error: str) -> dict:
+        """Dead-letter a poison batch (M9): persist its RAW input events
+        under ``_deadletter/<batch_id>/`` for offline repair, then commit a
+        ``dead_letter`` manifest entry so the stream proceeds past it with
+        the skip on the permanent record — the reference's
+        not-must-be-success escape hatch that logs the error and advances
+        (/root/reference/server/to_server_consume.go:228-289,
+        /root/reference/plugin/mysql/src/mysql.go:610-613).  The quarantined
+        range counts as applied (exactly-once bookkeeping stays monotone);
+        re-applying the repaired events later goes through the normal merge
+        guard, which ignores anything older than what has since landed."""
+        dl_dir = os.path.join(self.path, "_deadletter", batch_id.replace(":", "_"))
+        events.write.mode("overwrite").parquet(dl_dir)
+        st = dict(self.state)
+        st["snapshot"] = self._next_snapshot()
+        st["last_event_id"] = max(st["last_event_id"], batch_range[1])
+        self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
+                                  "max_event_id": batch_range[1], "kind": "dead_letter",
+                                  "n_ops": None, "error": error[:2000],
+                                  "path": dl_dir, "committed_at": time.time()})
+        self._write_snapshot(self.path, st)
+        self._load_state()
+        return {"skipped": False, "dead_lettered": True, "batch_id": batch_id,
+                "path": dl_dir, "error": error[:500]}
+
+    def dead_letters(self) -> list[dict]:
+        """Manifest entries for quarantined batches (recent tail)."""
+        return [a for a in self.state["applied"] if a.get("kind") == "dead_letter"]
+
+    def repair_dead_letter(self, batch_id: str, lww_strategy: str = "agg") -> dict:
+        """Re-apply a quarantined batch's raw events (after offline repair /
+        a fixed sink) under a fresh ``repair:`` batch id — the original id
+        stays on the applied record, so exactly-once bookkeeping is intact
+        and the per-key merge guard drops anything that has since been
+        superseded by newer events."""
+        from bifrost_spark.operators.lww import events_to_ops
+
+        entry = next(a for a in self.dead_letters() if a["batch_id"] == batch_id)
+        events = self.spark.read.parquet(entry["path"])
+        return self.apply_ops(
+            events_to_ops(events), batch_id=f"repair:{batch_id}",
+            batch_range=(entry["min_event_id"], entry["max_event_id"]),
+            lww_strategy=lww_strategy,
+        )
 
     # ---------------------------------------------------------- maintenance
     def compact(self, tombstone_low_water_mark: int | None = None) -> dict:
@@ -795,7 +858,9 @@ class TargetTable:
         st["snapshot"] = self._next_snapshot()
         st["registry"] = self.registry.to_dict()
         st["schema_version"] = new_v.version
-        if new_v.truncated:
+        if new_v.truncated or new_v.dropped:
+            # TRUNCATE empties the table; DROP TABLE additionally evicted the
+            # cached schema (registry.apply_ddl) — both clear the bucket map
             st["buckets"] = {}
         st["last_event_id"] = max(st["last_event_id"], event_id)
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": event_id,

@@ -28,9 +28,26 @@ from bifrost_spark.operators.merge import TargetTable
 from bifrost_spark.schemas import EVENT_SCHEMA
 
 
+def _gtid_range(first: str | None, last: str | None) -> str | None:
+    """Source-hint GTID range → a GtidSet string ``uuid:txid_lo-txid_hi``
+    for the manifest's gtid_executed view.  Only emitted when both ends
+    carry the same source uuid and numeric txids (single-source binlog
+    semantics: the txid sequence within one uuid is gap-free, which is what
+    makes the range form exact)."""
+    try:
+        u1, t1 = (first or "").rsplit(":", 1)
+        u2, t2 = (last or "").rsplit(":", 1)
+        if u1 and u1 == u2:
+            return f"{u1}:{int(t1)}-{int(t2)}"
+    except ValueError:
+        pass
+    return None
+
+
 class ReplayEngine:
     def __init__(self, table: TargetTable, lww_strategy: str = "agg", ordered: bool = True,
-                 auto_compact_snapshots: int | None = None):
+                 auto_compact_snapshots: int | None = None,
+                 on_error: str = "fail", max_retries: int = 2):
         # ordered=True: batches arrive in global event_id order (the chunked
         # replay driver sorts chunks) → the F9 stale-event skip below is safe
         # and makes re-delivered prefixes true no-ops.  ordered=False (e.g. a
@@ -45,10 +62,20 @@ class ReplayEngine:
         # so it doubles as a SAFE tombstone-GC low-water mark; unordered
         # mode compacts without tombstone GC (a late batch may still need
         # the tombstone guard).
+        # on_error: "fail" = the reference's must-be-success mode (raise after
+        # max_retries, operator intervenes); "dead_letter" = quarantine the
+        # poison batch's raw events + commit an explicit skip record, stream
+        # proceeds (/root/reference/server/to_server_consume.go:228-289).
+        # Retries re-run the whole idempotent merge — a transient failure
+        # (executor loss, storage hiccup) succeeds on a later attempt with
+        # no duplicate effects because the commit point is the atomic
+        # CURRENT swing.
         self.table = table
         self.lww_strategy = lww_strategy
         self.ordered = ordered
         self.auto_compact_snapshots = auto_compact_snapshots
+        self.on_error = on_error
+        self.max_retries = max_retries
 
     def maybe_maintain(self) -> dict | None:
         n = self.auto_compact_snapshots
@@ -92,6 +119,7 @@ class ReplayEngine:
         ):
             return self._merge_segment(
                 events.filter(is_data), n=hints["n_data"], lo=hints["lo"], hi=hints["hi"],
+                gtid_set=_gtid_range(hints.get("gtid_first"), hints.get("gtid_last")),
             )
         t0 = time.time()
         stats = events.agg(
@@ -136,7 +164,7 @@ class ReplayEngine:
 
     def _merge_segment(self, seg: DataFrame, n: int | None = None,
                        lo: int | None = None, hi: int | None = None,
-                       stats_ms: float = 0.0) -> list[dict]:
+                       stats_ms: float = 0.0, gtid_set: str | None = None) -> list[dict]:
         # F9 stale-event skip (reference: channel_consume.go:300-314): a
         # redelivered batch — even one sliced differently than the original
         # (checkpoint wipe, changed trigger size) — contributes nothing below
@@ -153,13 +181,23 @@ class ReplayEngine:
         batch_id = f"merge:{lo}-{hi}"
         if self.table.is_applied(batch_id, (lo, hi), range_exclusive=self.ordered):
             return [{"skipped": True, "batch_id": batch_id}]
-        res = self.table.apply_ops(
-            events_to_ops(seg), batch_id=batch_id, batch_range=(lo, hi),
-            n_ops_hint=n, lww_strategy=self.lww_strategy,
-            range_exclusive=self.ordered,
-        )
-        res["stats_ms"] = round(stats_ms, 1)
-        return [res]
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                res = self.table.apply_ops(
+                    events_to_ops(seg), batch_id=batch_id, batch_range=(lo, hi),
+                    n_ops_hint=n, lww_strategy=self.lww_strategy,
+                    range_exclusive=self.ordered, gtid_set=gtid_set,
+                )
+                res["stats_ms"] = round(stats_ms, 1)
+                if attempt:
+                    res["retries"] = attempt
+                return [res]
+            except Exception as e:  # noqa: BLE001 — sink/task failures of any shape
+                last_err = e
+        if self.on_error != "dead_letter":
+            raise last_err
+        return [self.table.quarantine(seg, batch_id, (lo, hi), error=repr(last_err))]
 
 
 def replay_event_log(

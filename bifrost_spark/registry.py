@@ -36,6 +36,8 @@ class SchemaVersion:
     # ordered (name, logical_type) for DDL-added columns present at this version
     extras: tuple[tuple[str, str], ...] = field(default_factory=tuple)
     truncated: bool = False  # this version was created by TRUNCATE
+    dropped: bool = False    # this version was created by DROP TABLE (cache evicted)
+    table_name: str | None = None  # set when a RENAME/CREATE changed the tracked name
 
 
 class SchemaRegistry:
@@ -54,14 +56,49 @@ class SchemaRegistry:
     def version(self, v: int) -> SchemaVersion:
         return self._versions[v]
 
+    @property
+    def table_name(self) -> str | None:
+        """Tracked physical table name (RENAME TABLE moves it, like the
+        reference moving its schema-cache entry)."""
+        for s in reversed(self._versions):
+            if s.table_name is not None:
+                return s.table_name
+        return None
+
     def apply_ddl(self, op: DDLOp | str) -> SchemaVersion:
         """Apply one DDL op (or raw SQL) → new version. Unknown/no-op DDL
-        still bumps the version so event ``schema_version`` stays aligned."""
+        still bumps the version so event ``schema_version`` stays aligned.
+
+        Table-level ops mirror the reference's schema-cache lifecycle
+        (/root/reference/Bristol/mysql/conn_dump.go:196-203):
+        - DROP TABLE **evicts** — extras cleared, version marked ``dropped``
+          (TargetTable clears its bucket map the way TRUNCATE does);
+        - CREATE TABLE **reloads fresh** — extras come from the CREATE's own
+          column list (non-base columns), replacing whatever was cached;
+        - RENAME TABLE **moves the cache entry** — extras survive untouched,
+          only the tracked table name changes.
+        """
         if isinstance(op, str):
             op = classify_query(op)
         cur = dict(self.current.extras)
         truncated = False
+        dropped = False
+        table_name: str | None = None
         ops = op.sections if op.kind == "alter_multi" else (op,)
+        if op.kind == "create_table":
+            cur = {}
+            for col in op.sections:
+                if col.column not in PAYLOAD_COLUMNS:
+                    cur[col.column] = col.logical_type or "string"
+            table_name = op.table_name
+            ops = ()
+        elif op.kind == "drop_table":
+            cur = {}
+            dropped = True
+            ops = ()
+        elif op.kind == "rename_table":
+            table_name = op.new_column  # parser stores the target name here
+            ops = ()
         for o in ops:
             if o.kind == "add_column":
                 if o.column not in PAYLOAD_COLUMNS:
@@ -78,7 +115,8 @@ class SchemaRegistry:
                 cur.pop(o.column, None)
             elif o.kind == "truncate":
                 truncated = True
-        nv = SchemaVersion(self.current_version + 1, tuple(cur.items()), truncated)
+        nv = SchemaVersion(self.current_version + 1, tuple(cur.items()), truncated,
+                           dropped, table_name)
         self._versions.append(nv)
         return nv
 
@@ -146,7 +184,8 @@ class SchemaRegistry:
     def to_dict(self) -> dict:
         return {
             "versions": [
-                {"version": s.version, "extras": [list(e) for e in s.extras], "truncated": s.truncated}
+                {"version": s.version, "extras": [list(e) for e in s.extras],
+                 "truncated": s.truncated, "dropped": s.dropped, "table_name": s.table_name}
                 for s in self._versions
             ]
         }
@@ -155,7 +194,9 @@ class SchemaRegistry:
     def from_dict(cls, d: dict) -> "SchemaRegistry":
         return cls(
             [
-                SchemaVersion(s["version"], tuple((n, t) for n, t in s["extras"]), s.get("truncated", False))
+                SchemaVersion(s["version"], tuple((n, t) for n, t in s["extras"]),
+                              s.get("truncated", False), s.get("dropped", False),
+                              s.get("table_name"))
                 for s in d["versions"]
             ]
         )

@@ -177,6 +177,130 @@ def decode_debezium_json(kafka: DataFrame) -> DataFrame:
     )
 
 
+def decode_string(kafka: DataFrame) -> DataFrame:
+    """``string_kafka``: the whole message becomes ONE insert row with the
+    queue metadata columns and PK (topic, partition, offset) — byte-for-byte
+    the reference's column mapping (/root/reference/input/kafka/
+    input_string_data.go:39-80: queue_key/queue_value/queue_topic/
+    queue_timestamp/queue_partition/queue_offset, pri = topic,partition,
+    offset).  Rows ride in the ``extra`` map (the payload columns repo/path
+    carry the PK) so the universal EVENT_SCHEMA stays unchanged."""
+    row = F.create_map(
+        F.lit("queue_key"), F.col("key").cast("string"),
+        F.lit("queue_value"), F.col("value").cast("string"),
+        F.lit("queue_topic"), F.col("topic"),
+        F.lit("queue_timestamp"), F.col("timestamp").cast("string"),
+        F.lit("queue_partition"), F.col("partition").cast("string"),
+        F.lit("queue_offset"), F.col("offset").cast("string"),
+    )
+    after = F.struct(
+        F.col("topic").alias("repo"),
+        F.concat_ws(":", F.col("partition"), F.col("offset")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("value").cast("string").alias("content"),
+        row.alias("extra"),
+    )
+    return _envelope(
+        kafka,
+        F.lit("insert"),
+        F.lit(None).cast(
+            "struct<repo:string,path:string,commit:string,lang:string,content:string,extra:map<string,string>>"
+        ),
+        after,
+        F.col("topic").alias("schema_name"),
+        F.lit("queue_data").alias("table_name"),
+        F.col("timestamp").cast("timestamp"),
+        F.lit(None).cast("string"),
+        F.array(F.lit("queue_topic"), F.lit("queue_partition"), F.lit("queue_offset")),
+    )
+
+
+class CustomerJsonConfig:
+    """Config-driven generic JSON mapping — the reference's
+    ``customer_json_kafka`` input (/root/reference/input/kafka/
+    input_customer_json_data.go:60-105 wires dotted paths into
+    /root/reference/plugin/driver/customer_json.go:173-215).
+
+    Every field is a dotted JSON path inside the message; ``event_type_vals``
+    maps the message's type values onto insert/update/delete (the
+    reference's input.event.type.val.* params).  ``update_old_path`` absent
+    → the old image defaults to the new image (customer_json.go:210-214)."""
+
+    def __init__(
+        self,
+        database_path: str = "db",
+        table_path: str = "table",
+        pks: list[str] | None = None,
+        event_type_path: str = "type",
+        event_type_vals: dict[str, str] | None = None,
+        insert_path: str = "data",
+        update_new_path: str = "data",
+        update_old_path: str | None = None,
+        delete_path: str = "data",
+    ):
+        self.database_path = database_path
+        self.table_path = table_path
+        self.pks = pks or ["id"]
+        self.event_type_path = event_type_path
+        self.event_type_vals = event_type_vals or {
+            "insert": "insert", "update": "update", "delete": "delete"
+        }
+        self.insert_path = insert_path
+        self.update_new_path = update_new_path
+        self.update_old_path = update_old_path
+        self.delete_path = delete_path
+
+
+def decode_customer_json(kafka: DataFrame, cfg: CustomerJsonConfig | None = None) -> DataFrame:
+    """Customer-JSON → events.  JSON paths are evaluated with
+    ``get_json_object`` (scalar fields) and a map parse at the configured
+    data path (row images); unmapped event-type values are DROPPED like the
+    reference's nil return (customer_json.go:180-190)."""
+    cfg = cfg or CustomerJsonConfig()
+
+    def jpath(p: str) -> Column:
+        return F.get_json_object(F.col("value").cast("string"), f"$.{p}")
+
+    def jmap(p: str | None) -> Column:
+        if p is None:
+            return F.lit(None).cast(_ROW)
+        return F.from_json(jpath(p), _ROW)
+
+    raw_type = jpath(cfg.event_type_path)
+    event_type = F.lit(None).cast("string")
+    for wire_val, et in cfg.event_type_vals.items():
+        event_type = F.when(raw_type == F.lit(wire_val), F.lit(et)).otherwise(event_type)
+
+    new_img = (
+        F.when(event_type == "insert", jmap(cfg.insert_path))
+        .when(event_type == "update", jmap(cfg.update_new_path))
+    )
+    # per-MESSAGE fallback, not per-config: a configured old path whose
+    # field is absent in this message defaults to the new image, exactly
+    # like customer_json.go:210-214 (oldData == nil → oldData = newData)
+    old_for_update = (
+        F.coalesce(jmap(cfg.update_old_path), jmap(cfg.update_new_path))
+        if cfg.update_old_path else jmap(cfg.update_new_path)
+    )
+    old_img = (
+        F.when(event_type == "update", old_for_update)
+        .when(event_type == "delete", jmap(cfg.delete_path))
+    )
+    out = _envelope(
+        kafka.filter(F.lit(True)),
+        event_type,
+        _payload_from_map(old_img),
+        _payload_from_map(new_img),
+        jpath(cfg.database_path),
+        jpath(cfg.table_path),
+        F.col("timestamp").cast("timestamp"),
+        F.lit(None).cast("string"),
+        F.array(*[F.lit(p) for p in cfg.pks]),
+    )
+    return out.filter(F.col("event_type").isNotNull())
+
+
 def decode_bifrost_json(kafka: DataFrame) -> DataFrame:
     """The reference's native JSON format: Rows[] interleaves before/after
     for updates (even=before, odd=after —

@@ -114,3 +114,49 @@ def test_align_arrow_rewrites_batches():
     # old version still addressable: align to v1 re-adds stars
     out4 = reg.align_arrow(b, v=1)
     assert "stars" in out4.schema.names
+
+
+def test_create_table_parses_columns():
+    from bifrost_spark.ddl import classify_query
+
+    op = classify_query(
+        "CREATE TABLE IF NOT EXISTS code.repos ("
+        "repo VARCHAR(255) NOT NULL, path VARCHAR(512), commit CHAR(40), "
+        "lang VARCHAR(16), content TEXT, stars INT DEFAULT 0, "
+        "updated_at DATETIME, PRIMARY KEY (repo, path), KEY idx_lang (lang))"
+    )
+    assert op.kind == "create_table" and op.table_name == "repos"
+    cols = {c.column: c.logical_type for c in op.sections}
+    assert cols["stars"] == "int" and cols["updated_at"] == "timestamp"
+    assert "idx_lang" not in cols  # constraint/index sections dropped
+
+
+def test_registry_table_lifecycle():
+    """DROP evicts the cached schema, CREATE reloads it fresh from the
+    statement's own column list, RENAME moves the entry intact — mirroring
+    /root/reference/Bristol/mysql/conn_dump.go:196-203."""
+    from bifrost_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.apply_ddl("ALTER TABLE code.repos ADD COLUMN stars INT")
+    assert dict(reg.current.extras) == {"stars": "int"}
+
+    v = reg.apply_ddl("RENAME TABLE code.repos TO code.repos_v2")
+    assert dict(v.extras) == {"stars": "int"}  # schema survives the move
+    assert reg.table_name == "repos_v2"
+
+    v = reg.apply_ddl("DROP TABLE code.repos_v2")
+    assert v.dropped and v.extras == ()
+
+    v = reg.apply_ddl(
+        "CREATE TABLE code.repos_v2 (repo VARCHAR(255), path VARCHAR(512), "
+        "commit CHAR(40), lang VARCHAR(16), content TEXT, forks BIGINT)"
+    )
+    assert not v.dropped and dict(v.extras) == {"forks": "bigint"}
+    assert reg.table_name == "repos_v2"
+
+    # round-trips through snapshot serialization
+    reg2 = SchemaRegistry.from_dict(reg.to_dict())
+    assert dict(reg2.current.extras) == {"forks": "bigint"}
+    assert reg2.table_name == "repos_v2"
+    assert reg2.version(3).dropped
