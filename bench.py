@@ -37,8 +37,13 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_ann_lsh",
     "text_quality",
 ]
+# dedup_simhash is oracle-checked (CORRECTNESS) but not benched: the
+# synthetic documents corpus is near-duplicate-saturated, so all-pairs
+# output is O(n²)-ish BY CONSTRUCTION of the data (62k pairs at 500 docs),
+# which measures the corpus, not the operator.
 
 
 def run_cdc_replay(spark, n_events: int, n_keys: int, n_chunks: int, workdir: str) -> dict:
@@ -57,19 +62,29 @@ def run_cdc_replay(spark, n_events: int, n_keys: int, n_chunks: int, workdir: st
     )
     shutil.rmtree(workdir, ignore_errors=True)
     log = os.path.join(workdir, "log")
-    tbl = os.path.join(workdir, "tbl")
-    # generation + snapshot load are setup, not the measured apply path
+    # generation + snapshot load are setup, not the measured apply path.
+    # 1 JIT-warmup replay + BENCH_TRIALS measured, min reported: this host
+    # shows ~9% bursty CPU steal with 2-5x wall variance on single shots,
+    # so a one-shot number measures the hypervisor, not the engine.
     write_event_log(generate_events(spark, cfg), log, n_chunks=n_chunks)
-    table = TargetTable.create(spark, tbl, n_buckets=int(os.environ.get("BENCH_BUCKETS", "32")))
-    table.bootstrap(generate_snapshot(spark, cfg))
-
-    t0 = time.time()
-    replay_event_log(spark, log, table)
-    wall = time.time() - t0
-    n_final = table.read().count()
+    snap_df = generate_snapshot(spark, cfg)
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    walls = []
+    n_final = None
+    for trial in range(trials + 1):
+        tbl = os.path.join(workdir, f"tbl{trial}")
+        table = TargetTable.create(spark, tbl, n_buckets=int(os.environ.get("BENCH_BUCKETS", "32")))
+        table.bootstrap(snap_df)
+        t0 = time.time()
+        replay_event_log(spark, log, table)
+        walls.append(time.time() - t0)
+        n_final = table.read().count()
+        shutil.rmtree(tbl, ignore_errors=True)
+    wall = min(walls[1:])
     shutil.rmtree(workdir, ignore_errors=True)
     return {
         "wall_sec": wall,
+        "walls": [round(w, 2) for w in walls],
         "events_per_sec": n_events / wall,
         "n_events": n_events,
         "n_final_rows": n_final,

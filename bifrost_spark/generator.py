@@ -315,31 +315,49 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
 
     df = spark.read.parquet(path).select("chunk", "event_id", "event_type", "query", "gtid")
     is_data = F.col("event_type").isin("insert", "update", "delete")
+    ddl_rows = sorted(
+        df.filter(F.col("event_type") == "ddl").select("chunk", "event_id", "query").collect(),
+        key=lambda r: r["event_id"],
+    )
+    # segment index within a chunk = number of same-chunk DDLs below the
+    # event (DDLs are a handful per stream, so this stays a tiny expression)
+    seg = F.lit(0)
+    for d in ddl_rows:
+        seg = seg + F.when((F.col("chunk") == d["chunk"]) & (F.col("event_id") > d["event_id"]), 1).otherwise(0)
     rows = (
-        df.groupBy("chunk")
+        df.filter(is_data)
+        .groupBy("chunk", seg.alias("seg"))
         .agg(
-            F.count(F.when(is_data, 1)).alias("n_data"),
-            F.min(F.when(is_data, F.col("event_id"))).alias("lo"),
-            F.max(F.when(is_data, F.col("event_id"))).alias("hi"),
+            F.count("*").alias("n_data"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
             F.min_by(F.col("gtid"), F.col("event_id")).alias("gtid_first"),
             F.max_by(F.col("gtid"), F.col("event_id")).alias("gtid_last"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
-            ).alias("ddls"),
         )
         .collect()
     )
-    index = {
-        f"chunk={r['chunk']}": {
-            "n_data": r["n_data"],
-            "lo": r["lo"],
-            "hi": r["hi"],
-            "gtid_first": r["gtid_first"],
-            "gtid_last": r["gtid_last"],
-            "ddls": [{"event_id": d["event_id"], "query": d["query"]} for d in r["ddls"]],
-        }
-        for r in rows
-    }
+    index: dict[str, dict] = {}
+    for r in sorted(rows, key=lambda r: (r["chunk"], r["seg"])):
+        e = index.setdefault(
+            f"chunk={r['chunk']}",
+            {"n_data": 0, "lo": None, "hi": None, "gtid_first": None, "gtid_last": None,
+             "segments": [], "ddls": []},
+        )
+        e["segments"].append({
+            "n_data": r["n_data"], "lo": r["lo"], "hi": r["hi"],
+            "gtid_first": r["gtid_first"], "gtid_last": r["gtid_last"],
+        })
+        e["n_data"] += r["n_data"]
+        e["lo"] = r["lo"] if e["lo"] is None else min(e["lo"], r["lo"])
+        e["hi"] = r["hi"] if e["hi"] is None else max(e["hi"], r["hi"])
+        e["gtid_first"] = e["gtid_first"] or r["gtid_first"]
+        e["gtid_last"] = r["gtid_last"]
+    for d in ddl_rows:
+        index.setdefault(
+            f"chunk={d['chunk']}",
+            {"n_data": 0, "lo": None, "hi": None, "gtid_first": None, "gtid_last": None,
+             "segments": [], "ddls": []},
+        )["ddls"].append({"event_id": d["event_id"], "query": d["query"]})
     tmp = os.path.join(path, "_chunks.json.tmp")
     with open(tmp, "w") as f:
         json.dump(index, f, indent=1)

@@ -113,14 +113,33 @@ class ReplayEngine:
         live = is_data & (F.col("event_id") > F.lit(lwm))
         if (
             hints is not None
-            and not hints.get("ddls")
-            and hints.get("lo") is not None
-            and hints["lo"] > lwm
+            and hints.get("segments") is not None
+            and all(s["lo"] > lwm for s in hints["segments"])
         ):
-            return self._merge_segment(
-                events.filter(is_data), n=hints["n_data"], lo=hints["lo"], hi=hints["hi"],
-                gtid_set=_gtid_range(hints.get("gtid_first"), hints.get("gtid_last")),
-            )
+            # Fully-indexed batch: per-segment ranges + inline DDL list from
+            # the source — zero pre-scan jobs, no event caching, even across
+            # DDL barriers.  Items apply in event_id order (a DDL's odd id
+            # falls between the segment ranges it separates).
+            items: list[tuple[str, dict]] = [("seg", s) for s in hints["segments"]] + [
+                ("ddl", d) for d in hints.get("ddls", [])
+            ]
+            items.sort(key=lambda t: t[1]["lo"] if t[0] == "seg" else t[1]["event_id"])
+            results: list[dict] = []
+            for kind, item in items:
+                if kind == "seg":
+                    seg_df = events.filter(
+                        is_data & F.col("event_id").between(item["lo"], item["hi"])
+                    )
+                    results.extend(self._merge_segment(
+                        seg_df, n=item["n_data"], lo=item["lo"], hi=item["hi"],
+                        gtid_set=_gtid_range(item.get("gtid_first"), item.get("gtid_last")),
+                    ))
+                else:
+                    results.append(self.table.apply_ddl(
+                        item["query"], batch_id=f"ddl:{item['event_id']}",
+                        event_id=item["event_id"], range_exclusive=self.ordered,
+                    ))
+            return results
         t0 = time.time()
         stats = events.agg(
             F.count(F.when(live, 1)).alias("n"),

@@ -143,3 +143,25 @@ def test_frame_sample_plan(spark):
     joined = plan.groupBy("media_id").count().join(vids, "media_id")
     for r in joined.collect():
         assert r["count"] == max(r["duration_ms"] // 1000, 1)
+
+
+def test_lsh_topk_dim768_plans_fast(spark):
+    """The Arrow-matmul signature path must stay O(1) plan size at real
+    embedding dims (768): planning + execution in seconds, where the
+    literal-expression path would build ~23k Catalyst nodes."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(768).astype(float).tolist()) for i in range(40)]
+    emb768 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb768.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    t0 = time.time()
+    out = lsh_bucketed_topk(emb768, q, dim=768, k=3, n_planes=10, n_tables=3,
+                            signature_impl="pandas")
+    n = out.count()
+    assert time.time() - t0 < 60
+    assert n <= 4 * 3
+    from bifrost_spark.functions.cache import release_caches
+    release_caches()

@@ -160,7 +160,7 @@ def main() -> None:
     _run_py(SETUP.format(repo=REPO), [str(n_events), str(n_chunks), base], heap_gb=48)
     results = {}
     for c in levels:
-        t = trials if c >= 8 else max(2, trials - 1)
+        t = trials if c >= 8 else max(2, min(3, trials - 1))
         results[c] = run_level(c, t, base, n_events)
     import shutil
     shutil.rmtree(base, ignore_errors=True)
