@@ -326,8 +326,11 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """N-gram/token-set Jaccard near-dup pairs within a blocking key (lang).
-    The blocked self-join is the scalable shape: candidates come from a
-    cheap equality key, full O(n²) never materializes globally."""
+    ORACLE DEMO of the exact-verification math, not the scale path: a lang
+    block is O(n²) within each language.  The scale path is
+    `dedup_minhash_lsh` (content-derived band buckets bound every
+    candidate group); this entry exists to pin the Jaccard arithmetic
+    against DuckDB exactly."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
@@ -565,6 +568,107 @@ def q_s6_debezium_roundtrip(spark, sf_dir):
         F.col("event_id").alias("offset"), msg.alias("value"),
     )
     return _roundtrip_projection(decode_debezium_json(kafka))
+
+
+_MM_ORACLE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm_expected_v1"
+)
+
+
+def _ensure_mm_oracle() -> str:
+    """Independent recompute of the multimodal plumbing outputs: the media
+    synthesis is a pure function of (seed, media_id) over Spark's xxhash64
+    and sha256, so numpy+hashlib rebuild the expected feature rows and the
+    frame-sampling fan-out without Spark (same pattern as oracle_gen)."""
+    feat_path = _MM_ORACLE_PATH + "_features.parquet"
+    frame_path = _MM_ORACLE_PATH + "_frames.parquet"
+    if not (os.path.exists(feat_path) and os.path.exists(frame_path)):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from bifrost_spark.oracle_gen import _pmod, xxhash64
+
+        n, seed, dim, every_ms = 256, 42, 8, 1000
+        mid = np.arange(n, dtype=np.uint64)
+        kinds = np.array(["image", "audio", "video"], dtype=object)[
+            _pmod(xxhash64((mid, "long"), (seed, "int")), 3)
+        ]
+        nrep = _pmod(xxhash64((mid, "long"), (seed + 1, "int")), 4) + 1
+        dur = _pmod(xxhash64((mid, "long"), (5, "int")), 60000) + 1000
+        feat_rows, frame_rows = [], []
+        for i in range(n):
+            base = hashlib.sha256(f"{i}{seed}".encode()).hexdigest()
+            payload = (base * int(nrep[i])).encode()
+            digest = hashlib.sha256(payload).hexdigest()
+            fs = [float(np.float32(int(digest[j * 8 : j * 8 + 8], 16) / float(1 << 32)))
+                  for j in range(dim)]
+            acc = 0.0
+            for f in fs:
+                acc += f
+            feat_rows.append({
+                "media_id": i, "kind": kinds[i], "n_bytes": len(payload),
+                "content_digest": digest,
+                "f0": round(fs[0], 6), "f_sum": round(acc, 6),
+            })
+            if kinds[i] == "video":
+                for fr in range(max(int(dur[i]) // every_ms, 1)):
+                    frame_rows.append({"media_id": i, "frame_idx": fr,
+                                       "frame_ts_ms": fr * every_ms})
+        os.makedirs(os.path.dirname(feat_path), exist_ok=True)
+        pd.DataFrame(feat_rows).astype({"media_id": "int64", "n_bytes": "int64"}).to_parquet(
+            feat_path + ".tmp", index=False)
+        os.replace(feat_path + ".tmp", feat_path)
+        pd.DataFrame(frame_rows).astype("int64").to_parquet(frame_path + ".tmp", index=False)
+        os.replace(frame_path + ".tmp", frame_path)
+    return _MM_ORACLE_PATH
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize binary media columns,
+    Arrow-batched mapInPandas decode/feature-extract (stub kernel, real
+    schema/batch shape), scalar projections of the feature vector for the
+    hash compare.  Oracle = Spark-free numpy+hashlib recompute."""
+    from bifrost_spark.functions.multimodal import extract_features, synthesize_media
+
+    _ensure_mm_oracle()
+    feats = extract_features(synthesize_media(spark, n=256, seed=42), feature_dim=8)
+    fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_digest",
+        F.round(F.element_at(fd, 1), 6).alias("f0"),
+        F.round(F.aggregate(fd, F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
+    )
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out (explode per-frame rows from duration
+    metadata) — the distributed shape of a frame-decode pipeline."""
+    from bifrost_spark.functions.multimodal import frame_sample_plan, synthesize_media
+
+    _ensure_mm_oracle()
+    out = frame_sample_plan(synthesize_media(spark, n=256, seed=42), every_ms=1000)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucketed self-join candidates +
+    exact cosine verify.  The oracle recomputes the identical buckets
+    (quantized projections on shared plane literals) and verification."""
+    from bifrost_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.2, n_planes=8, n_tables=2,
+        seed=7, signature_impl="pandas",
+    )
 
 
 def q_s6_customer_json_roundtrip(spark, sf_dir):
@@ -842,6 +946,47 @@ def _simhash_oracle_sql(n_bits: int = 48, bands: int = 4, max_hamming: int = 3) 
     """
 
 
+def _emb_near_dup_oracle_sql(dim: int = 64, threshold: float = 0.2, n_planes: int = 8,
+                             n_tables: int = 2, seed: int = 7) -> str:
+    """SQL recompute of embedding_near_dup_pairs: identical plane literals →
+    quantized bucket bits → self-join candidates → exact cosine verify on
+    the ROUNDED sim (both engines filter post-round, so the boundary is
+    deterministic)."""
+    from bifrost_spark.functions.similarity import hyperplanes
+
+    P = hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucket(vexpr: str, t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in P[t, p]) + "]"
+            terms.append(
+                f"(CASE WHEN round(list_dot_product({vexpr}, {lit}), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    sig_selects = "\n          UNION ALL\n".join(
+        f"          SELECT vec_id, {t} AS tbl, {bucket('v', t)} AS sig FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        ), cb AS (
+{sig_selects}
+        ), pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, sim FROM (
+          SELECT p.id_a, p.id_b,
+                 round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+          FROM pairs p JOIN e ea ON p.id_a = ea.vec_id JOIN e eb ON p.id_b = eb.vec_id
+        ) WHERE sim >= {threshold}
+    """
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, n_planes: int = 8,
                         n_tables: int = 2, seed: int = 7) -> str:
     """Full SQL recompute of lsh_bucketed_topk: identical hyperplane
@@ -924,12 +1069,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
         "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
         "s6_string_roundtrip": q_s6_string_roundtrip,
+        "mm_feature_extract": q_mm_feature_extract,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -1174,7 +1322,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lang, content_sha, last_event_id
             FROM read_parquet('{_ensure_replay_oracle()}')
         """,
+        "mm_feature_extract": f"""
+            SELECT media_id, kind, n_bytes, content_digest, f0, f_sum
+            FROM read_parquet('{_ensure_mm_oracle()}_features.parquet')
+        """,
+        "mm_frame_sample": f"""
+            SELECT media_id, frame_idx, frame_ts_ms
+            FROM read_parquet('{_ensure_mm_oracle()}_frames.parquet')
+        """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "s6_canal_roundtrip": """

@@ -122,6 +122,48 @@ def lsh_signatures_pandas(vec: Column, planes) -> Column:
     return sig_udf(vec)
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    signature_impl: str = "pandas",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed SELF-join (a pair
+    is a candidate iff it shares a bucket in ANY table) + exact cosine
+    verification ``>= threshold``.  Returns (id_a, id_b, sim).
+
+    Same scale shape as ``lsh_bucketed_topk``: the bucket groupBy is the
+    only wide dependency, candidates never materialize globally, vectors
+    are late-materialized for candidate pairs only."""
+    planes = hyperplanes(dim, n_planes, n_tables, seed)
+    sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
+    c = register_cache(corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")))
+    b = c.select("id", F.posexplode(sig_fn(F.col("v"), planes)).alias("tbl", "sig"))
+    pairs = (
+        b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -165,3 +165,23 @@ def test_lsh_topk_dim768_plans_fast(spark):
     assert n <= 4 * 3
     from bifrost_spark.functions.cache import release_caches
     release_caches()
+
+
+def test_embedding_near_dup_pairs_planted(spark, emb):
+    """Planted scaled copies (cosine 1.0, identical projection signs) must
+    pair with their originals; random corpus pairs stay below threshold."""
+    from bifrost_spark.functions.similarity import embedding_near_dup_pairs
+
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.0001)).alias("embedding"),
+        F.lit(-1).alias("label"),
+    )
+    out = embedding_near_dup_pairs(
+        emb.unionByName(planted), dim=64, threshold=0.99, n_planes=8, n_tables=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert {(i, i + 50000) for i in range(5)} <= pairs
+    assert all(r["sim"] >= 0.99 for r in out)
+    from bifrost_spark.functions.cache import release_caches
+    release_caches()
