@@ -313,7 +313,12 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
     import json
     import os
 
-    df = spark.read.parquet(path).select("chunk", "event_id", "event_type", "query", "gtid")
+    # partition-type inference turns the chunk=0000 dir value into int 0;
+    # re-pad so index keys match the directory names replay iterates
+    df = spark.read.parquet(path).select(
+        F.lpad(F.col("chunk").cast("string"), 4, "0").alias("chunk"),
+        "event_id", "event_type", "query", "gtid",
+    )
     is_data = F.col("event_type").isin("insert", "update", "delete")
     ddl_rows = sorted(
         df.filter(F.col("event_type") == "ddl").select("chunk", "event_id", "query").collect(),

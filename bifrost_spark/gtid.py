@@ -100,6 +100,29 @@ class GtidSet:
                     return False
         return True
 
+    def compact(self, max_intervals_per_uuid: int = 128) -> "GtidSet":
+        """Bound the per-uuid interval count by bridging the smallest gaps
+        first.  Safe under ordered commit (an interval commits only after
+        everything below it, so a txid strictly between two committed
+        intervals was never produced — e.g. the synthetic stream's odd-id
+        gaps); real MySQL txid sequences are contiguous per uuid and never
+        fragment in the first place."""
+        out: dict[str, list[list[int]]] = {}
+        for u, ivs in self.sets.items():
+            ivs = [list(i) for i in ivs]
+            if len(ivs) > max_intervals_per_uuid:
+                gaps = sorted(range(len(ivs) - 1), key=lambda i: ivs[i + 1][0] - ivs[i][1])
+                bridge = set(gaps[: len(ivs) - max_intervals_per_uuid])
+                merged = [ivs[0]]
+                for i in range(1, len(ivs)):
+                    if (i - 1) in bridge:
+                        merged[-1][1] = ivs[i][1]
+                    else:
+                        merged.append(ivs[i])
+                ivs = merged
+            out[u] = ivs
+        return GtidSet(out)
+
     def subtract(self, other: "GtidSet | str") -> "GtidSet":
         """Set difference — what still needs replaying to reach ``self``
         from ``other`` (the reference computes the resume start this way)."""

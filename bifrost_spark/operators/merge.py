@@ -219,7 +219,9 @@ class TargetTable:
         if gtid_set:
             from bifrost_spark.gtid import GtidSet
 
-            st["gtid_executed"] = str(GtidSet.parse(st.get("gtid_executed")).union(gtid_set))
+            st["gtid_executed"] = str(
+                GtidSet.parse(st.get("gtid_executed")).union(gtid_set).compact()
+            )
 
     def _next_snapshot(self) -> str:
         return f"v{int(self.state['snapshot'][1:]) + 1:08d}"

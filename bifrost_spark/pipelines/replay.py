@@ -219,6 +219,31 @@ class ReplayEngine:
         return [self.table.quarantine(seg, batch_id, (lo, hi), error=repr(last_err))]
 
 
+def gtid_resume_chunk(log_path: str, table: TargetTable) -> int:
+    """GTID-first resume (the reference's COM_BINLOG_DUMP_GTID semantics,
+    /root/reference/Bristol/mysql/conn_dump.go:32-95 + mysql_gtid.go): find
+    the first chunk whose GTID range is NOT fully contained in the table's
+    ``gtid_executed``, i.e. where a slave reconnecting with
+    ``@slave_connect_state = gtid_executed`` would be resumed.  Falls back
+    to 0 when the log carries no chunk index or no gtids (position-based
+    resume via manifests still applies)."""
+    import json
+
+    from bifrost_spark.gtid import GtidSet
+
+    try:
+        with open(os.path.join(log_path, "_chunks.json")) as f:
+            index = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return 0
+    executed = GtidSet.parse(table.gtid_executed)
+    for i, chunk in enumerate(sorted(index)):
+        rng = _gtid_range(index[chunk].get("gtid_first"), index[chunk].get("gtid_last"))
+        if rng is None or not executed.contains(rng):
+            return i
+    return len(index)
+
+
 def replay_event_log(
     spark: SparkSession,
     log_path: str,

@@ -61,3 +61,11 @@ def test_mariadb_domains_merge_by_max_seq():
     assert not u.contains("3-1-1")
     # within one parse, later higher seq wins per domain
     assert str(MariadbGtidSet.parse("0-1-5,0-2-9")) == "0-2-9"
+
+
+def test_compact_bounds_interval_count():
+    g = GtidSet({U1: [[i * 10, i * 10 + 4] for i in range(300)]})
+    c = g.compact(max_intervals_per_uuid=16)
+    assert len(c.sets[U1]) == 16
+    # everything originally contained is still contained (bridging only adds)
+    assert c.contains(g)

@@ -99,3 +99,31 @@ def test_oracle_self_check(fixtures):
     assert expected["last_event_id"].max() > 0
     h = hashlib.sha256(str(sorted(content_sha_map(expected).items())).encode()).hexdigest()
     assert len(h) == 64
+
+
+def test_chunk_index_fast_path_engages(spark, tmp_path):
+    """Guard against the round-2 partition-type-inference bug: when the log
+    carries _chunks.json, ordered replay must take the zero-pre-scan hint
+    path for EVERY chunk (no stats_ms in any result), and index keys must
+    match the chunk directory names exactly."""
+    import json
+    import os
+
+    from bifrost_spark.generator import GeneratorConfig, generate_events, generate_snapshot, write_event_log
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import replay_event_log
+
+    cfg = GeneratorConfig(n_events=2000, n_keys=200, n_repos=10, seed=5, snapshot_keys=50,
+                          ddl=[(1000, "ALTER TABLE code.repos ADD COLUMN stars INT")])
+    log = str(tmp_path / "log")
+    write_event_log(generate_events(spark, cfg), log, n_chunks=3)
+    with open(os.path.join(log, "_chunks.json")) as f:
+        index = json.load(f)
+    dirs = sorted(d for d in os.listdir(log) if d.startswith("chunk="))
+    assert sorted(index) == dirs, "index keys must equal chunk dir names"
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    table.bootstrap(generate_snapshot(spark, cfg))
+    results = replay_event_log(spark, log, table)
+    assert all(r.get("stats_ms", 0) == 0 for r in results), \
+        f"pre-scan stats job ran despite chunk index: {results}"
+    assert table.gtid_executed  # hint path also feeds the gtid view
