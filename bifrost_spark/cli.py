@@ -11,12 +11,12 @@ Cluster run:        spark-submit --py-files bifrost_spark.zip \
                         tools/submit_entry.py replay --log /mnt/shared/log --table /mnt/shared/tbl
 (`tools/make_pyfiles.sh` builds the zip; submit_entry.py just calls main()).
 
-NOTE: the event-log and table paths must be on a filesystem visible to the
-driver via POSIX APIs (local disk, NFS, a FUSE mount of object storage) —
-TargetTable's commit/state/lineage metadata uses atomic os.replace, so a raw
-s3:// URI is not accepted.  Data files themselves are written by Spark and
-would work on any Hadoop filesystem; routing the metadata through the Hadoop
-FileSystem API is the known follow-up for direct object-store targets.
+Table/log roots may be plain paths (POSIX metadata I/O, atomic os.replace)
+or ``scheme://`` URIs — hdfs:// s3a:// gs:// file:// — in which case
+TargetTable routes its commit/state/lineage metadata through the Hadoop
+FileSystem API (bifrost_spark/metafs.py; needs the scheme's connector jar
+on the cluster, e.g. hadoop-aws for s3a).  Pointer swings are atomic on
+POSIX/HDFS and single-writer-safe on object stores (see metafs.py).
 
 Subcommands:
   generate   write a deterministic synthetic event log (+ optional snapshot)

@@ -56,12 +56,12 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bifrost_spark.metafs import metafs_for
 from bifrost_spark.registry import SchemaRegistry
 from bifrost_spark.schemas import LOGICAL_TYPES, PK_COLUMNS, TARGET_BASE_FIELDS
 
@@ -107,14 +107,19 @@ class TargetTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # metadata I/O goes through a scheme-selected FS (metafs.py): POSIX
+        # for plain paths, the Hadoop FileSystem API for hdfs://, s3a://,
+        # file://, ... — the ADVICE round-1 object-store follow-up
+        self._fs = metafs_for(spark, path)
         self._load_state()
 
     # ------------------------------------------------------------------ state
     @classmethod
     def create(cls, spark: SparkSession, path: str, n_buckets: int = 32,
                registry: SchemaRegistry | None = None) -> "TargetTable":
-        os.makedirs(os.path.join(path, "_state"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fs = metafs_for(spark, path)
+        fs.makedirs(os.path.join(path, "_state"))
+        fs.makedirs(os.path.join(path, "data"))
         state = {
             "snapshot": "v00000000",
             "n_buckets": n_buckets,
@@ -126,27 +131,19 @@ class TargetTable:
             "n_commits": 0,
             "last_event_id": -1,
         }
-        cls._write_snapshot(path, state)
+        cls._write_snapshot(fs, path, state)
         return cls(spark, path)
 
     @staticmethod
-    def _write_snapshot(path: str, state: dict) -> None:
+    def _write_snapshot(fs, path: str, state: dict) -> None:
         snap = state["snapshot"]
-        sfile = os.path.join(path, "_state", f"{snap}.json")
-        tmp = sfile + f".tmp{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, sfile)
-        cur_tmp = os.path.join(path, "_state", f"CURRENT.tmp{uuid.uuid4().hex[:8]}")
-        with open(cur_tmp, "w") as f:
-            f.write(snap)
-        os.replace(cur_tmp, os.path.join(path, "_state", "CURRENT"))
+        fs.write_text_atomic(os.path.join(path, "_state", f"{snap}.json"), json.dumps(state))
+        # the atomic CURRENT swing is the one-and-only commit point
+        fs.write_text_atomic(os.path.join(path, "_state", "CURRENT"), snap)
 
     def _load_state(self) -> None:
-        with open(os.path.join(self.path, "_state", "CURRENT")) as f:
-            snap = f.read().strip()
-        with open(os.path.join(self.path, "_state", f"{snap}.json")) as f:
-            self.state = json.load(f)
+        snap = self._fs.read_text(os.path.join(self.path, "_state", "CURRENT")).strip()
+        self.state = json.loads(self._fs.read_text(os.path.join(self.path, "_state", f"{snap}.json")))
         # migrate pre-interval-manifest state (round-1 tables)
         if "applied_ranges" not in self.state:
             self.state["applied_ranges"] = _merge_ranges(
@@ -305,30 +302,26 @@ class TargetTable:
         st["buckets"] = {str(b): snap for b in written}
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0,
                                   "n_ops": None, "kind": "bootstrap", "committed_at": time.time()})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "buckets": len(written)}
 
     def _append_lineage(self, entry: dict) -> None:
-        with open(os.path.join(self.path, "_state", "lineage.jsonl"), "a") as f:
-            f.write(json.dumps(entry) + "\n")
+        self._fs.append_line(os.path.join(self.path, "_state", "lineage.jsonl"), json.dumps(entry))
 
     def lineage(self) -> dict[str, dict]:
         """Per-bucket lineage metrics by batch_id (advisory sidecar;
         last line wins for a batch_id re-appended during crash replay)."""
         out: dict[str, dict] = {}
-        try:
-            with open(os.path.join(self.path, "_state", "lineage.jsonl")) as f:
-                for line in f:
-                    e = json.loads(line)
-                    out[e["batch_id"]] = e
-        except FileNotFoundError:
-            pass
+        for line in self._fs.read_lines(os.path.join(self.path, "_state", "lineage.jsonl")):
+            if line.strip():
+                e = json.loads(line)
+                out[e["batch_id"]] = e
         return out
 
     def _buckets_in(self, out_dir: str) -> list[int]:
         return sorted(
-            int(d.split("=", 1)[1]) for d in os.listdir(out_dir) if d.startswith("bucket=")
+            int(d.split("=", 1)[1]) for d in self._fs.listdir(out_dir) if d.startswith("bucket=")
         )
 
     def _bucket_bytes(self, buckets: list[int]) -> int:
@@ -340,12 +333,7 @@ class TargetTable:
             snap = bmap.get(str(b))
             if snap is None:
                 continue
-            d = os.path.join(self.path, "data", snap, f"bucket={b}")
-            try:
-                with os.scandir(d) as it:
-                    total += sum(e.stat().st_size for e in it if e.is_file())
-            except FileNotFoundError:
-                pass
+            total += self._fs.dir_size(os.path.join(self.path, "data", snap, f"bucket={b}"))
         return total
 
     def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
@@ -528,7 +516,7 @@ class TargetTable:
             "committed_at": time.time(),
             "wall_ms": wall_ms,
         })
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         # Per-bucket lineage goes to an append-only sidecar, NOT the state
         # JSON: the state is rewritten on every commit, so embedding
@@ -684,7 +672,7 @@ class TargetTable:
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
                                   "max_event_id": batch_range[1], "kind": "merge_fused",
                                   "n_ops": None, "committed_at": time.time(), "wall_ms": wall_ms})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         self._append_lineage(
             {"batch_id": batch_id, "wall_ms": wall_ms, "level": "coarse",
@@ -702,8 +690,11 @@ class TargetTable:
         needs this rewrites every bucket, which only happens at sandbox /
         bootstrap scale; a 16k-bucket steady-state table takes the
         broadcast path whose lineage is exact already."""
-        if len(buckets) > max_buckets:
-            return None
+        from bifrost_spark.metafs import LocalMetaFS
+
+        if len(buckets) > max_buckets or not isinstance(self._fs, LocalMetaFS):
+            return None  # footer probing is a local-FS nicety; coarse
+            # observe() lineage stands in on object stores
         try:
             import pyarrow.parquet as pq
         except ImportError:
@@ -743,7 +734,7 @@ class TargetTable:
                                   "max_event_id": batch_range[1], "kind": "dead_letter",
                                   "n_ops": None, "error": error[:2000],
                                   "path": dl_dir, "committed_at": time.time()})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "dead_lettered": True, "batch_id": batch_id,
                 "path": dl_dir, "error": error[:500]}
@@ -805,7 +796,7 @@ class TargetTable:
         st["schemas"] = {snap: keep.schema.jsonValue()}
         self._record_applied(st, {"batch_id": f"compact:{snap}", "kind": "compact", "n_ops": 0,
                                   "tombstone_lwm": lwm, "committed_at": time.time()})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"snapshot": snap, "buckets": len(written)}
 
@@ -815,20 +806,18 @@ class TargetTable:
         copy-on-write commits).  Safe with live readers only under the
         single-writer assumption readers use a loaded-state handle for —
         like Iceberg's expire_snapshots, callers pick the retention moment."""
-        import shutil
-
         live = set(self.state["buckets"].values())
         data = os.path.join(self.path, "data")
         removed = []
-        for d in os.listdir(data):
+        for d in self._fs.listdir(data):
             if d not in live:
-                shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+                self._fs.rmtree(os.path.join(data, d))
                 removed.append(d)
         cur = self.state["snapshot"]
         sdir = os.path.join(self.path, "_state")
-        for f in os.listdir(sdir):
+        for f in self._fs.listdir(sdir):
             if f.endswith(".json") and f != f"{cur}.json":
-                os.unlink(os.path.join(sdir, f))
+                self._fs.unlink(os.path.join(sdir, f))
         return {"removed_snapshots": sorted(removed)}
 
     def _commit_noop(self, batch_id: str, batch_range: tuple[int, int]) -> dict:
@@ -838,7 +827,7 @@ class TargetTable:
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
                                   "max_event_id": batch_range[1], "kind": "noop", "n_ops": 0,
                                   "committed_at": time.time()})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "n_ops": 0}
 
@@ -868,6 +857,6 @@ class TargetTable:
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": event_id,
                                   "max_event_id": event_id, "kind": "ddl", "query": query,
                                   "n_ops": 0, "committed_at": time.time()})
-        self._write_snapshot(self.path, st)
+        self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "schema_version": new_v.version}
