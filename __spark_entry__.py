@@ -738,6 +738,137 @@ def q_s6_string_roundtrip(spark, sf_dir):
     )
 
 
+def _canonical_events(spark, sf_dir):
+    """events table → canonical EVENT_SCHEMA rows (pure deterministic
+    projection; same field conventions as the s6 roundtrip oracles: signup→
+    insert, error→delete, else update; content = round(value*100))."""
+    ev = _ev(spark, sf_dir)
+    et = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    c = F.round(F.col("value") * 100).cast("bigint").cast("string")
+
+    def img(content):
+        return F.struct(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("path"),
+            F.lit("c1").alias("commit"),
+            F.lit("py").alias("lang"),
+            content.alias("content"),
+            F.create_map().cast("map<string,string>").alias("extra"),
+        )
+
+    before = F.when(
+        et.isin("update", "delete"),
+        img(F.when(et == "delete", c).otherwise(F.lit("prev"))),
+    )
+    after = F.when(et.isin("insert", "update"), img(c))
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(1).alias("file_num"),
+        F.col("event_id").cast("long").alias("pos"),
+        et.alias("event_type"),
+        F.lit("app").alias("schema_name"),
+        F.lit("events").alias("table_name"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("g:"), F.col("event_id").cast("string")).alias("gtid"),
+        F.array(F.lit("repo"), F.lit("path")).alias("pri"),
+        before.alias("before"),
+        after.alias("after"),
+        F.lit(None).cast("string").alias("query"),
+        F.lit(0).alias("schema_version"),
+    )
+
+
+def q_m6_kafka_messages(spark, sf_dir):
+    """M6: message-sink encode → decode round-trip.  Canonical events are
+    encoded into broker-ready (topic, key, value) messages by
+    sinks.messages.kafka_messages (bifrost-native JSON value, {$Tag}-
+    templated topic/key), decoded back with decode_bifrost_json, and joined
+    to the rendered topic/key by the Gtid carried in the wire value.  The
+    oracle recomputes every projected field directly from the events table,
+    so any encoder drift (Rows interleave, op naming, template rendering,
+    timestamp precision) mismatches.
+    Ref: /root/reference/plugin/kafka/src/kafka.go:206-349,
+    /root/reference/plugin/driver/to_other_object.go:41-51."""
+    from bifrost_spark.sinks.messages import kafka_messages
+    from bifrost_spark.sources.kafka_formats import decode_bifrost_json
+
+    events = _canonical_events(spark, sf_dir)
+    msgs = kafka_messages(
+        events,
+        topic_template="{$SchemaName}_{$TableName}",
+        key_template="{$repo}/{$path}",
+        fmt="bifrost",
+    )
+    kafka = msgs.select(
+        "topic", "key",
+        F.lit(0).alias("partition"), F.lit(0).cast("long").alias("offset"),
+        "value",
+    )
+    decoded = decode_bifrost_json(kafka)
+    sides = kafka.select(
+        "topic", "key", F.get_json_object("value", "$.Gtid").alias("gtid")
+    )
+    return decoded.join(sides, "gtid").select(
+        "gtid", "event_type", "schema_name", "table_name", "topic", "key",
+        F.col("before.repo").alias("before_repo"),
+        F.col("before.content").alias("before_content"),
+        F.col("after.repo").alias("after_repo"),
+        F.col("after.content").alias("after_content"),
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_sec"),
+    )
+
+
+def q_s7_mongo_oplog(spark, sf_dir):
+    """S7: Mongo oplog decode — synthesize oplog JSON entries from the
+    events table (i/u/d ops, full-doc images, BSON-timestamp positions),
+    decode with sources.mongo_oplog.decode_mongo_oplog.  The oracle
+    recomputes the expected decode in SQL, including the (T<<32)|I event-id
+    packing, the {"T":t,"I":i} gtid, the update before==after rule, and the
+    delete doc = {_id} rule (which must leave the typed payload NULL and
+    carry _id in extra).
+    Ref: /root/reference/input/mongo/callback.go:29-120, position.go:26-31."""
+    from bifrost_spark.sources.mongo_oplog import decode_mongo_oplog
+
+    ev = _ev(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("i"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    c = F.round(F.col("value") * 100).cast("bigint").cast("string")
+    t = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    oid = F.concat(F.lit("id"), F.col("event_id").cast("string"))
+    full_doc = F.create_map(
+        F.lit("_id"), oid,
+        F.lit("repo"), F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        F.lit("path"), F.concat(F.lit("e"), F.col("event_id").cast("string")),
+        F.lit("content"), c,
+    )
+    doc = F.when(op == "d", F.create_map(F.lit("_id"), oid)).otherwise(full_doc)
+    msg = F.to_json(
+        F.struct(
+            F.struct(t.alias("t"), F.col("event_id").cast("long").alias("i")).alias("ts"),
+            op.alias("op"),
+            F.lit("app.events").alias("ns"),
+            doc.alias("doc"),
+        )
+    )
+    decoded = decode_mongo_oplog(ev.select(msg.alias("value")))
+    return decoded.select(
+        "event_id", "gtid", "event_type", "schema_name", "table_name",
+        F.col("before.repo").alias("before_repo"),
+        F.col("before.content").alias("before_content"),
+        F.col("after.repo").alias("after_repo"),
+        F.col("after.content").alias("after_content"),
+        F.coalesce(F.col("after.extra")["_id"], F.col("before.extra")["_id"]).alias("doc_id"),
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_sec"),
+    )
+
+
 _REPLAY_CFG = dict(
     n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
     ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
@@ -1078,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_string_roundtrip": q_s6_string_roundtrip,
         "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,
+        "m6_kafka_messages": q_m6_kafka_messages,
+        "s7_mongo_oplog": q_s7_mongo_oplog,
     }
 
 
@@ -1368,6 +1501,45 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('second', ts) AS ts_sec
             FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
                          'u' || CAST(user_id AS VARCHAR) AS urepo
+                  FROM events)
+        """,
+        "m6_kafka_messages": """
+            SELECT 'g:' || CAST(event_id AS VARCHAR) AS gtid,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS event_type,
+                   'app' AS schema_name, 'events' AS table_name,
+                   'app_events' AS topic,
+                   urepo || '/e' || CAST(event_id AS VARCHAR) AS "key",
+                   CASE WHEN event_type = 'signup' THEN NULL ELSE urepo END AS before_repo,
+                   CASE WHEN event_type = 'error' THEN c
+                        WHEN event_type = 'signup' THEN NULL
+                        ELSE 'prev' END AS before_content,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE urepo END AS after_repo,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE c END AS after_content,
+                   date_trunc('second', ts) AS ts_sec
+            FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                         'u' || CAST(user_id AS VARCHAR) AS urepo
+                  FROM events)
+        """,
+        "s7_mongo_oplog": """
+            SELECT t * 4294967296 + event_id AS event_id,
+                   '{"T":' || CAST(t AS VARCHAR) || ',"I":' || CAST(event_id AS VARCHAR) || '}' AS gtid,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS event_type,
+                   'app' AS schema_name, 'events' AS table_name,
+                   CASE WHEN event_type IN ('signup', 'error') THEN NULL
+                        ELSE urepo END AS before_repo,
+                   CASE WHEN event_type IN ('signup', 'error') THEN NULL
+                        ELSE c END AS before_content,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE urepo END AS after_repo,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE c END AS after_content,
+                   'id' || CAST(event_id AS VARCHAR) AS doc_id,
+                   date_trunc('second', ts) AS ts_sec
+            FROM (SELECT *, CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c,
+                         'u' || CAST(user_id AS VARCHAR) AS urepo,
+                         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
                   FROM events)
         """,
     }
