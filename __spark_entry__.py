@@ -869,6 +869,47 @@ def q_s7_mongo_oplog(spark, sf_dir):
     )
 
 
+def q_f8_fanout(spark, sf_dir):
+    """F8: multi-sink fan-out — one pass replicates each event to every
+    matching sink with per-sink table wildcards, event-type filters, and the
+    per-sink stale double guard (skip only if stale by id AND ts).  The
+    oracle recomputes each sink's membership as a UNION ALL, so wrong
+    routing, wrong replication factor, or a broken stale guard all
+    mismatch.  Ref: /root/reference/server/channel_consume.go:265-317."""
+    from bifrost_spark.sinks.fanout import SinkSpec, fanout
+
+    events = _canonical_events(spark, sf_dir).withColumn(
+        "table_name",
+        F.concat(F.lit("events_"), F.pmod(F.col("event_id"), F.lit(3)).cast("string")),
+    )
+    specs = [
+        SinkSpec(name="web", tables=("app.events_*",), ignore_tables=("app.events_2",),
+                 event_types=("insert", "update"), key_template="{$repo}/{$path}"),
+        SinkSpec(name="audit", tables=("*.*",), last_event_id=2000,
+                 last_ts=4102444800, key_template="{$repo}/{$path}"),
+        SinkSpec(name="arch", tables=("app.events_2",), fmt="debezium",
+                 key_template="{$repo}/{$path}"),
+    ]
+    out = fanout(events, specs)
+    return out.select(
+        "sink", "event_id", "event_type", "topic", "key",
+        F.col("value").isNotNull().alias("has_value"),
+    )
+
+
+def q_c3_position_scan(spark, sf_dir):
+    """C3: saved-position validity + nearest-right restart scan, batched —
+    for each saved resume position, is it still a real event boundary in
+    the stream, and if not where does the nearest valid event sit?  One
+    broadcast of the tiny probe set, one map-side-combined pass over the
+    positions.  Ref: /root/reference/Bristol/mysql/binlog_check.go:9-50."""
+    from bifrost_spark.pipelines.position import nearest_valid_positions
+
+    ev = _ev(spark, sf_dir).select("event_id")
+    probes = [0, 1, 1234, 2001, 5000, 1_000_000_000]
+    return nearest_valid_positions(ev, probes)
+
+
 _REPLAY_CFG = dict(
     n_events=4000, n_keys=400, n_repos=20, seed=42, snapshot_keys=200,
     ddl=[(2000, "ALTER TABLE code.repos ADD COLUMN stars INT")],
@@ -1211,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "m6_kafka_messages": q_m6_kafka_messages,
         "s7_mongo_oplog": q_s7_mongo_oplog,
+        "f8_fanout": q_f8_fanout,
+        "c3_position_scan": q_c3_position_scan,
     }
 
 
@@ -1541,5 +1584,38 @@ def oracle_sql() -> dict[str, str]:
                          'u' || CAST(user_id AS VARCHAR) AS urepo,
                          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
                   FROM events)
+        """,
+        "f8_fanout": """
+            WITH base AS (
+                SELECT event_id,
+                       CASE event_type WHEN 'signup' THEN 'insert'
+                                       WHEN 'error' THEN 'delete'
+                                       ELSE 'update' END AS et,
+                       event_id % 3 AS t3,
+                       'u' || CAST(user_id AS VARCHAR) || '/e' || CAST(event_id AS VARCHAR) AS k
+                FROM events
+            )
+            SELECT 'web' AS sink, event_id, et AS event_type,
+                   'app_events_' || CAST(t3 AS VARCHAR) AS topic, k AS "key",
+                   TRUE AS has_value
+            FROM base WHERE t3 IN (0, 1) AND et IN ('insert', 'update')
+            UNION ALL
+            SELECT 'audit', event_id, et,
+                   'app_events_' || CAST(t3 AS VARCHAR), k, TRUE
+            FROM base WHERE event_id >= 2000
+            UNION ALL
+            SELECT 'arch', event_id, et,
+                   'app_events_' || CAST(t3 AS VARCHAR), k, TRUE
+            FROM base WHERE t3 = 2
+        """,
+        "c3_position_scan": """
+            WITH probes(requested) AS (
+                VALUES (CAST(0 AS BIGINT)), (1), (1234), (2001), (5000), (1000000000)
+            )
+            SELECT p.requested,
+                   coalesce(bool_or(e.event_id = p.requested), FALSE) AS valid,
+                   min(e.event_id) AS nearest_right
+            FROM probes p LEFT JOIN events e ON e.event_id >= p.requested
+            GROUP BY p.requested
         """,
     }

@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 # F1/F7 — replicate-table filter with `*` wildcards and do/ignore lists
 # (reference: Bristol/mysql/binlog_table_filter.go, input/driver/replicate.go:236-294,
 #  server/channel_consume.go:247-263)
+def table_pattern_pred(
+    pat: str, schema_col: str = "schema_name", table_col: str = "table_name"
+) -> Column:
+    """One `schema.table` wildcard pattern → boolean Column (foldable regex,
+    so Catalyst can push it into the scan).  Shared by F1/F7 filtering and
+    the F8 fan-out sink matcher."""
+    sch, tbl = pat.split(".", 1)
+    pred = F.lit(True)
+    if sch != "*":
+        pred = pred & (F.col(schema_col) == sch)
+    if tbl != "*":
+        if "*" in tbl:
+            rx = "^" + re.escape(tbl).replace(r"\*", ".*") + "$"
+            pred = pred & F.col(table_col).rlike(rx)
+        else:
+            pred = pred & (F.col(table_col) == tbl)
+    return pred
+
+
 def replicate_table_filter(
     events: DataFrame,
     do_tables: list[str] | None = None,
@@ -29,17 +48,7 @@ def replicate_table_filter(
     schema.* > *.* (reference: server/callback.go:78-140 3-level routing)."""
 
     def pattern_pred(pat: str) -> Column:
-        sch, tbl = pat.split(".", 1)
-        pred = F.lit(True)
-        if sch != "*":
-            pred = pred & (F.col(schema_col) == sch)
-        if tbl != "*":
-            if "*" in tbl:
-                rx = "^" + re.escape(tbl).replace(r"\*", ".*") + "$"
-                pred = pred & F.col(table_col).rlike(rx)
-            else:
-                pred = pred & (F.col(table_col) == tbl)
-        return pred
+        return table_pattern_pred(pat, schema_col, table_col)
 
     out = events
     if do_tables:
