@@ -203,6 +203,42 @@ def main() -> int:
     sections.append(("LSH ANN top-k — Arrow matmul signatures, O(1) plan size at dim 768", p, checks))
     release_caches()
 
+    # 8. F8 fan-out: one narrow pass — project + generate, no shuffle, one scan
+    from bifrost_spark.sinks.fanout import SinkSpec, fanout
+
+    fo = fanout(events, [
+        SinkSpec(name="a", tables=("code.*",), filter_query=True),
+        SinkSpec(name="b", fmt="canal", last_event_id=100, last_ts=1),
+        SinkSpec(name="c", fmt="debezium", key_template="{$repo}/{$path}"),
+    ])
+    p = formatted(fo)
+    checks = [
+        ("no shuffle Exchange (fan-out is a narrow projection + explode)",
+         n_nodes(p, "Exchange") == 0),
+        ("single scan of the source (events read once for all sinks)",
+         n_nodes(p, "Scan parquet") == 1),
+        ("explode via Generate (replication factor explicit in rows)",
+         n_nodes(p, "Generate") == 1),
+    ]
+    sections.append(("F8 multi-sink fan-out — one pass, no shuffle, N sinks per scan", p, checks))
+
+    # 9. C3 batch nearest-right scan: probes broadcast, map-side partial min
+    from bifrost_spark.pipelines.position import nearest_valid_positions
+
+    nv = nearest_valid_positions(events.filter(
+        F.col("event_type").isin("insert", "update", "delete")), [2, 1001, 10**9])
+    p = formatted(nv)
+    checks = [
+        ("probe set broadcast (no shuffle of the position stream before agg)",
+         "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("map-side partial aggregation before the final tiny exchange",
+         "partial_min" in p or "partial" in p.lower()),
+        ("position scan reads only the position column", all(
+            ("before" not in ln and "after" not in ln)
+            for ln in p.splitlines() if "ReadSchema" in ln)),
+    ]
+    sections.append(("C3 batch position audit — broadcast probes, partial min", p, checks))
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by tools/plan_audit.py (also a regression gate: each check",
