@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "text_quality",
+    "f8_fanout",
 ]
 # dedup_simhash is oracle-checked (CORRECTNESS) but not benched: the
 # synthetic documents corpus is near-duplicate-saturated, so all-pairs
