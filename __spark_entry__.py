@@ -994,6 +994,51 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the keep-one stage of a dedup pipeline:
+    MinHash-LSH verified pairs (portable-hash mode, identical to
+    `dedup_minhash_lsh`) → distributed connected components (min-label
+    propagation + path halving) → (doc_id, cluster_id, cluster_size,
+    is_canonical).  The DuckDB oracle recomputes the pairs AND the
+    transitive closure (recursive CTE), so grouping is verified end to
+    end, including transitivity the pair list alone can't show (A~B, B~C
+    clustering A,B,C together without an A~C edge)."""
+    from bifrost_spark.functions.dedup import minhash_lsh_candidates, near_dup_clusters
+
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", hash_fn="poly", seed=1
+    )
+    return near_dup_clusters(pairs)
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Transitive closure over the minhash oracle's verified pairs: DuckDB
+    recursive CTE floods min labels along (symmetrized) edges; min per node
+    = the component representative, matching the engine's label-propagation
+    fixpoint."""
+    return f"""
+        WITH RECURSIVE pairs_v AS (
+          SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle_sql()}) mh
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs_v
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs_v
+        ), reach(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        ), cc AS (
+          SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        ), sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id
+        )
+        SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+               c.id = c.cluster_id AS is_canonical
+        FROM cc c JOIN sizes s USING (cluster_id)
+    """
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH buckets (Arrow-batched matmul
     signatures — O(1) plan size at any dim) + exact cosine re-rank on
@@ -1241,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1507,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ensure_mm_oracle()}_frames.parquet')
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),

@@ -238,6 +238,82 @@ def simhash_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → cluster
+    assignment + canonical keep-one selection: the final stage of a
+    training-data dedup pipeline (pairs from ``minhash_lsh_candidates`` /
+    ``simhash_pairs`` / ``embedding_near_dup_pairs`` are only edges; what a
+    pipeline keeps is ONE doc per transitive duplicate group).
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical) for every doc
+    that appears in at least one pair; ``cluster_id`` is the minimum doc_id
+    of the component, and the canonical survivor is the doc equal to it.
+
+    Distributed shape: iterative min-label propagation with path halving
+    (label := min(label, min-neighbor-label, label-of-label)), the
+    MapReduce-style CC of Kiveris et al. — each round is two hash-keyed
+    joins + a map-side-combined min, on narrow (id, label) rows; rounds are
+    O(log diameter) thanks to the pointer-doubling step, and near-dup
+    components are shallow in practice.  ``localCheckpoint`` after each
+    round cuts the lineage so the plan stays O(1) per round instead of
+    growing with iterations.  No driver-side data — the only driver values
+    are the per-round convergence counts.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src").agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "id")
+            )
+            stepped = labels.join(nbr, "id", "left").select(
+                "id",
+                F.col("label").alias("old"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("mid"),
+            )
+            # Path halving: also jump to the current label OF the label —
+            # doubles the propagation distance per round (O(log d) rounds).
+            parents = labels.select(F.col("id").alias("mid"), F.col("label").alias("parent_label"))
+            new_labels = (
+                stepped.join(parents, "mid", "left")
+                .select(
+                    "id",
+                    F.least("mid", F.coalesce("parent_label", "mid")).alias("label"),
+                    (F.least("mid", F.coalesce("parent_label", "mid")) != F.col("old")).alias("changed"),
+                )
+                .localCheckpoint()
+            )
+            n_changed = new_labels.filter("changed").count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per content hash."""
     return (

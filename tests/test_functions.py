@@ -46,6 +46,35 @@ def test_minhash_lsh_on_corpus(spark, docs):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
 
 
+def test_near_dup_clusters_transitive(spark):
+    from bifrost_spark.functions.dedup import near_dup_clusters
+
+    # A~B, B~C but no A~C edge: clustering must still group all three.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in near_dup_clusters(pairs).collect()}
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[1]["cluster_size"] == 3
+    assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
+    assert out[10]["cluster_size"] == 2
+
+
+def test_near_dup_clusters_long_chain(spark):
+    from bifrost_spark.functions.dedup import near_dup_clusters
+
+    # Path graph of 40 nodes (worst diameter for label propagation) plus
+    # edges listed high-to-low: converges via path halving, one component.
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(39)], "doc_a long, doc_b long"
+    )
+    rows = near_dup_clusters(pairs).collect()
+    assert len(rows) == 40
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == 40 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
 def test_simhash_near_dup_have_close_fingerprints(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
     rows = [(1, base), (2, base + " rho"), (3, "unrelated words entirely disjoint vocabulary set here now")]
