@@ -268,8 +268,14 @@ class TargetTable:
                 out = out.unionByName(p, allowMissingColumns=True)
             if "is_deleted" not in out.columns:
                 out = out.withColumn("is_deleted", F.lit(False))
+        # include_deleted=True is the internal rewrite surface (merge target
+        # reads, compaction): it keeps the residual ``extra`` map so values
+        # whose DDL has not been applied yet survive the copy-on-write.  The
+        # public read materializes extras (coalesced from the map) and drops
+        # the map column.
         aligned = self.registry.align(
-            out, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"]
+            out, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"],
+            keep_extra_map=include_deleted,
         )
         if not include_deleted:
             aligned = aligned.filter(~F.col("is_deleted")).drop("is_deleted")
@@ -293,7 +299,8 @@ class TargetTable:
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
         df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets)).withColumn("is_deleted", F.lit(False))
-        df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"])
+        df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"],
+                                 keep_extra_map=True)
         df.repartition(2 * self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         written = self._buckets_in(out_dir)
         st = dict(self.state)
@@ -336,6 +343,23 @@ class TargetTable:
             total += self._fs.dir_size(os.path.join(self.path, "data", snap, f"bucket={b}"))
         return total
 
+    def _materialize_extras(self, src: DataFrame, sv: int) -> DataFrame:
+        """Split an op batch's raw ``extra`` map into typed columns for every
+        extra KNOWN at schema version ``sv`` plus a residual map of the rest.
+        The residual is what makes DDL order-independent: an unordered stream
+        can deliver post-DDL events before the DDL barrier itself, and their
+        values ride the residual map until the column exists (reads coalesce
+        typed-then-map, see ``SchemaRegistry.align``)."""
+        names = [n for n, _t in self.registry.extra_columns(sv)]
+        if "extra" in src.columns:
+            for name, ltype in self.registry.extra_columns(sv):
+                src = src.withColumn(name, F.col("extra")[name].cast(LOGICAL_TYPES.get(ltype, T.StringType())))
+            if names:
+                src = src.withColumn("extra", F.map_filter(F.col("extra"), lambda k, _v: ~k.isin(*names)))
+        else:
+            src = src.withColumn("extra", F.lit(None).cast(T.MapType(T.StringType(), T.StringType())))
+        return src
+
     def merge(self, resolved: DataFrame, batch_id: str, batch_range: tuple[int, int],
               schema_version: int | None = None, range_exclusive: bool = False,
               gtid_set: str | None = None) -> dict:
@@ -354,14 +378,10 @@ class TargetTable:
         extras = [n for n, _t in self.registry.extra_columns(sv)]
 
         src = resolved.withColumn("bucket", bucket_expr(self.n_buckets))
-        # typed extras out of the map column (if present), else passthrough
-        if "extra" in src.columns:
-            for name, ltype in self.registry.extra_columns(sv):
-                src = src.withColumn(name, F.col("extra")[name].cast(LOGICAL_TYPES.get(ltype, T.StringType())))
-            src = src.drop("extra")
+        src = self._materialize_extras(src, sv)
         src = src.select(
             *PK_COLUMNS, "op", "commit", "lang", "content",
-            F.col("event_id").alias("src_event_id"), "bucket", *extras,
+            F.col("event_id").alias("src_event_id"), "bucket", *extras, "extra",
         ).persist()
 
         # per-bucket lineage metrics + affected-bucket list in ONE small job
@@ -415,6 +435,7 @@ class TargetTable:
                 .otherwise(F.coalesce(F.col("t.is_deleted"), F.lit(False)))
                 .alias("is_deleted"),
                 *[pick(c) for c in extras],
+                pick("extra"),
                 F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
             )
 
@@ -462,6 +483,7 @@ class TargetTable:
                 F.col("src_event_id").alias("last_event_id"),
                 (F.col("op") == "delete").alias("is_deleted"),
                 *[F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col(c)).alias(c) for c in extras],
+                F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col("extra")).alias("extra"),
                 F.col("bucket"),
             )
             out = out_upd.unionByName(out_ins)
@@ -601,13 +623,9 @@ class TargetTable:
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
 
-        src = ops
-        if "extra" in src.columns:
-            for name, ltype in self.registry.extra_columns(sv):
-                src = src.withColumn(name, F.col("extra")[name].cast(LOGICAL_TYPES.get(ltype, T.StringType())))
-            src = src.drop("extra")
+        src = self._materialize_extras(ops, sv)
         src = src.select(
-            *PK_COLUMNS, "op", "commit", "lang", "content", *extras,
+            *PK_COLUMNS, "op", "commit", "lang", "content", *extras, "extra",
             F.col("event_id"), F.col("seq").cast("long").alias("seq"),
         )
 
@@ -615,7 +633,7 @@ class TargetTable:
         tgt_ops = tgt.select(
             *PK_COLUMNS,
             F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
-            "commit", "lang", "content", *extras,
+            "commit", "lang", "content", *extras, "extra",
             F.col("last_event_id").alias("event_id"),
             # a live row ranks as the upsert that produced it; a tombstone as
             # its delete — same encoding events_to_ops uses (2e / 2e+1).
@@ -623,7 +641,7 @@ class TargetTable:
             .cast("long").alias("seq"),
         )
 
-        val = F.struct("op", "commit", "lang", "content", *extras, "event_id")
+        val = F.struct("op", "commit", "lang", "content", *extras, "extra", "event_id")
         win = (
             src.unionByName(tgt_ops)
             .groupBy(*PK_COLUMNS)
@@ -637,6 +655,7 @@ class TargetTable:
             F.col("v.event_id").alias("last_event_id"),
             is_del.alias("is_deleted"),
             *[F.when(is_del, F.lit(None)).otherwise(F.col(f"v.{c}")).alias(c) for c in extras],
+            F.when(is_del, F.lit(None)).otherwise(F.col("v.extra")).alias("extra"),
             bucket_expr(self.n_buckets).alias("bucket"),
         )
 

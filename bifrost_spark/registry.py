@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bifrost_spark.ddl import DDLOp, classify_query
 from bifrost_spark.schemas import LOGICAL_TYPES, PAYLOAD_COLUMNS
@@ -127,19 +128,42 @@ class SchemaRegistry:
     def typed_extra(self, name: str, ltype: str, source: Column) -> Column:
         return source.cast(LOGICAL_TYPES.get(ltype, LOGICAL_TYPES["string"]))
 
-    def align(self, df: DataFrame, v: int | None = None, base_cols: list[str] | None = None) -> DataFrame:
+    def align(self, df: DataFrame, v: int | None = None, base_cols: list[str] | None = None,
+              keep_extra_map: bool = False) -> DataFrame:
         """Project ``df`` onto schema version ``v``: base columns first, then
         each extra column (typed-null-padded if absent, cast if present).
-        Pure projection — Catalyst folds it into the scan (column pruning)."""
+        Pure projection — Catalyst folds it into the scan (column pruning).
+
+        When ``df`` carries a raw ``extra`` map column (rows written BEFORE a
+        DDL materialized a column — an unordered stream can apply post-DDL
+        events before the DDL barrier itself), each extra materializes as
+        ``coalesce(typed_col, extra[name])``: exact, because every written
+        file stores a value in exactly ONE of the two places — typed if the
+        column was known at its write-time schema version, in the residual
+        map otherwise.  ``keep_extra_map=True`` (internal rewrite paths:
+        merge target reads, bootstrap, compaction) additionally passes the
+        residual map through MINUS the keys materialized at ``v``,
+        preserving that invariant for values whose DDL has not arrived yet.
+        """
         sv = self.current if v is None else self.version(v)
+        has_map = "extra" in df.columns
+        names = [n for n, _t in sv.extras]
         base = base_cols or [c for c in df.columns if c not in dict(sv.extras) and not c.startswith("_")]
-        cols: list[Column] = [F.col(c) for c in base if c in df.columns]
+        cols: list[Column] = [F.col(c) for c in base if c in df.columns and c != "extra"]
         for name, ltype in sv.extras:
             t = LOGICAL_TYPES.get(ltype, LOGICAL_TYPES["string"])
-            if name in df.columns:
-                cols.append(F.col(name).cast(t).alias(name))
+            typed = F.col(name).cast(t) if name in df.columns else F.lit(None).cast(t)
+            if has_map:
+                typed = F.coalesce(typed, F.col("extra")[name].cast(t))
+            cols.append(typed.alias(name))
+        if keep_extra_map:
+            if not has_map:
+                residual = F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+            elif names:
+                residual = F.map_filter(F.col("extra"), lambda k, _v: ~k.isin(*names))
             else:
-                cols.append(F.lit(None).cast(t).alias(name))
+                residual = F.col("extra")
+            cols.append(residual.alias("extra"))
         return df.select(*cols)
 
     # -- Arrow batch rewrite -------------------------------------------------

@@ -26,8 +26,13 @@ def test_streaming_replay_and_checkpoint_wipe(spark, tmp_path):
     q.awaitTermination(300)
 
     table = TargetTable(spark, table.path)
-    actual = table.to_pandas_sorted()
+    actual = table.to_pandas_sorted().reset_index(drop=True)
     assert content_sha_map(actual) == content_sha_map(expected)
+    # FULL frame equality, not just content shas: the unordered file stream
+    # can apply post-DDL events before the DDL barrier — their DDL-added
+    # column values must survive via the residual extra map (regression:
+    # they used to be silently dropped, visible only off the sha'd columns).
+    assert expected.equals(actual[expected.columns.tolist()])
     n_applied = len(table.state["applied"])
 
     # wipe the checkpoint → Spark replays ALL files with the SAME slicing:
