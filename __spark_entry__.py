@@ -994,6 +994,27 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Reproducible ~1/4 sample: keep rows whose salted-sha256 prefix sorts
+    below '4000'.  Pure pushed-down scan filter (no shuffle); nested — a
+    tighter threshold is always a subset.  Cross-engine exact: the oracle
+    runs the identical predicate on DuckDB's sha256."""
+    from bifrost_spark.functions.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), threshold_hex="4000").select("doc_id", "lang")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language cap (training-mix rebalancing): at most 50 docs per
+    lang, picked by salted-hash order — deterministic, engine-independent,
+    stable under repartitioning."""
+    from bifrost_spark.functions.sampling import stratified_cap
+
+    return stratified_cap(_docs(spark, sf_dir), strata_col="lang", cap=50).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING — the keep-one stage of a dedup pipeline:
     MinHash-LSH verified pairs (portable-hash mode, identical to
@@ -1287,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1554,6 +1577,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "sample_deterministic": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, sample_rank FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+                     ) AS INT) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 50
+        """,
         "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),

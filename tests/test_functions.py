@@ -46,6 +46,37 @@ def test_minhash_lsh_on_corpus(spark, docs):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
 
 
+def test_deterministic_sample_nested_and_stable(spark, docs):
+    from bifrost_spark.functions.sampling import deterministic_sample
+
+    q = deterministic_sample(docs, threshold_hex="4000")
+    kept = {r["doc_id"] for r in q.select("doc_id").collect()}
+    assert kept == {r["doc_id"] for r in q.select("doc_id").collect()}  # stable
+    n = docs.count()
+    assert 0 < len(kept) < n  # ~25%, loose bounds
+    assert abs(len(kept) / n - 0.25) < 0.15
+    # nested: tighter threshold is a strict subset
+    tighter = {r["doc_id"] for r in
+               deterministic_sample(docs, threshold_hex="2000").select("doc_id").collect()}
+    assert tighter <= kept and len(tighter) < len(kept)
+    # different salt draws a different sample
+    other = {r["doc_id"] for r in
+             deterministic_sample(docs, threshold_hex="4000", salt="s2").select("doc_id").collect()}
+    assert other != kept
+
+
+def test_stratified_cap(spark, docs):
+    from bifrost_spark.functions.sampling import stratified_cap
+
+    out = stratified_cap(docs, strata_col="lang", cap=7)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    src = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_src in src.items():
+        assert per[lang] == min(n_src, 7)
+    ranks = [r["sample_rank"] for r in out.collect()]
+    assert min(ranks) == 1 and max(ranks) <= 7
+
+
 def test_near_dup_clusters_transitive(spark):
     from bifrost_spark.functions.dedup import near_dup_clusters
 
