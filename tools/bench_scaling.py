@@ -216,8 +216,11 @@ memory; shuffle + work dirs on tmpfs (the stand-in for per-executor NVMe).
 |---|---|---|
 {pair_rows}
 
-**The 2 → 8 pair is the honest cluster stand-in and it meets the ≥ 0.8
-target{f" ({eff28:.3f})" if eff28 else ""}.**  Both of its levels run below
+**The 2 → 8 pair is the honest cluster stand-in:
+{f"{eff28:.3f}, {'MEETING' if eff28 >= 0.8 else 'vs'} the >= 0.8 target" if eff28 else "n/a"}
+(engine {f"{'ABOVE' if eff28 and eff28 > hw_pairs.get('2->8', 1) else 'vs'}"} the
+parallel-memcpy control {hw_pairs.get('2->8', float('nan')):.2f} at the same
+worker counts).**  Both of its levels run below
 the VM's memory-bandwidth saturation point, which is the regime an actual
 N vs 4N executor cluster is in — each added executor brings its own memory
 bus, NVMe, and NIC.  The 8 → 32 pair{f" ({eff832:.3f})" if eff832 else ""}
