@@ -49,3 +49,26 @@ def test_streaming_replay_and_checkpoint_wipe(spark, tmp_path):
     q3.awaitTermination(300)
     table = TargetTable(spark, table.path)
     assert content_sha_map(table.to_pandas_sorted()) == content_sha_map(expected)
+
+
+def test_streaming_auto_compact_preserves_residual_extras(spark, tmp_path):
+    """Auto-compaction BETWEEN unordered micro-batches must not lose
+    residual extra-map values that are waiting for their DDL barrier: the
+    compaction rewrite happens while post-DDL values may only exist in the
+    residual map (the table's schema version lags the data)."""
+    events = generate_events(spark, CFG)
+    snap = generate_snapshot(spark, CFG)
+    log = str(tmp_path / "log")
+    write_event_log(events, log, n_chunks=5)
+    expected = sequential_apply(events.toPandas(), snap.toPandas())
+
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(snap)
+    q = start_cdc_stream(spark, log, table, str(tmp_path / "ckpt"),
+                         max_files_per_trigger=1, auto_compact_snapshots=2)
+    q.awaitTermination(300)
+
+    table = TargetTable(spark, table.path)
+    actual = table.to_pandas_sorted().reset_index(drop=True)
+    assert content_sha_map(actual) == content_sha_map(expected)
+    assert expected.equals(actual[expected.columns.tolist()])
