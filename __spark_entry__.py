@@ -1184,12 +1184,10 @@ def _simhash_oracle_sql(n_bits: int = 48, bands: int = 4, max_hamming: int = 3) 
     """
 
 
-def _emb_near_dup_oracle_sql(dim: int = 64, threshold: float = 0.2, n_planes: int = 8,
-                             n_tables: int = 2, seed: int = 7) -> str:
-    """SQL recompute of embedding_near_dup_pairs: identical plane literals →
-    quantized bucket bits → self-join candidates → exact cosine verify on
-    the ROUNDED sim (both engines filter post-round, so the boundary is
-    deterministic)."""
+def _lsh_sig_selects(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """Shared by both ANN oracle builders: the quantized hyperplane bucket
+    bits as SQL (identical plane literals from the engine's seeded
+    generator) — one UNION ALL branch per hash table over the ``e`` CTE."""
     from bifrost_spark.functions.similarity import hyperplanes
 
     P = hyperplanes(dim, n_planes, n_tables, seed)
@@ -1203,10 +1201,19 @@ def _emb_near_dup_oracle_sql(dim: int = 64, threshold: float = 0.2, n_planes: in
             )
         return "(" + " + ".join(terms) + ")"
 
-    sig_selects = "\n          UNION ALL\n".join(
+    return "\n          UNION ALL\n".join(
         f"          SELECT vec_id, {t} AS tbl, {bucket('v', t)} AS sig FROM e"
         for t in range(n_tables)
     )
+
+
+def _emb_near_dup_oracle_sql(dim: int = 64, threshold: float = 0.2, n_planes: int = 8,
+                             n_tables: int = 2, seed: int = 7) -> str:
+    """SQL recompute of embedding_near_dup_pairs: identical plane literals →
+    quantized bucket bits → self-join candidates → exact cosine verify on
+    the ROUNDED sim (both engines filter post-round, so the boundary is
+    deterministic)."""
+    sig_selects = _lsh_sig_selects(dim, n_planes, n_tables, seed)
     return f"""
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -1231,23 +1238,7 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, n_planes: int = 8,
     literals (rounded to 6 decimals from the shared seeded generator),
     quantized projection bits, exact cosine re-rank.  list_dot_product is a
     sequential fold like the engine's F.aggregate, so sims are bit-equal."""
-    from bifrost_spark.functions.similarity import hyperplanes
-
-    P = hyperplanes(dim, n_planes, n_tables, seed)
-
-    def bucket(vexpr: str, t: int) -> str:
-        terms = []
-        for p in range(n_planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in P[t, p]) + "]"
-            terms.append(
-                f"(CASE WHEN round(list_dot_product({vexpr}, {lit}), 6) >= 0 THEN {1 << p} ELSE 0 END)"
-            )
-        return "(" + " + ".join(terms) + ")"
-
-    sig_selects = "\n          UNION ALL\n".join(
-        f"          SELECT vec_id, {t} AS tbl, {bucket('v', t)} AS sig FROM e"
-        for t in range(n_tables)
-    )
+    sig_selects = _lsh_sig_selects(dim, n_planes, n_tables, seed)
     return f"""
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -89,12 +89,27 @@ def classify_query(sql: str) -> DDLOp:
         sch, tbl = _split_ident(s[m.start(1) : m.end(1)])
         return DDLOp(kind="drop_table", schema_name=sch, table_name=tbl, raw=sql)
 
-    m = re.match(r"^create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.`]+)\s*(\(.*\))?\s*$", low, re.DOTALL)
+    # tail after the table name may be a column list, table options
+    # (ENGINE=/CHARSET= — present on virtually every real MySQL CREATE),
+    # LIKE other_table, or AS SELECT; only a leading parenthesized column
+    # list yields sections (LIKE/CTAS classify as create_table with none).
+    m = re.match(r"^create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.`]+)\s*(.*)$", low, re.DOTALL)
     if m:
         sch, tbl = _split_ident(s[m.start(1) : m.end(1)])
         cols: list[DDLOp] = []
-        if m.group(2):
-            body = s[m.start(2) + 1 : m.end(2) - 1]  # original case, parens stripped
+        rest = s[m.start(2):].strip()  # original case
+        body = None
+        if rest.startswith("("):
+            depth = 0
+            for i, ch in enumerate(rest):  # match the closing paren by depth
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        body = rest[1:i]
+                        break
+        if body:
             for sec in _split_toplevel_commas(body):
                 cm = re.match(
                     r"^(?!primary\b|unique\b|key\b|index\b|constraint\b|foreign\b|fulltext\b)"

@@ -166,6 +166,11 @@ def simhash_fingerprints(
     """
     toks = F.array_distinct(_tokens_ascii(F.col(text_col)) if hash_fn == "poly" else _tokens(F.col(text_col)))
     if hash_fn == "poly":
+        if n_bits > 63:
+            # (1 << 64) - 1 overflows a LongType literal; the portable fold
+            # is signed-64 arithmetic, so its fingerprint domain tops out at
+            # 63 bits (xxhash64 mode covers the full-64-bit default).
+            raise ValueError(f"hash_fn='poly' supports n_bits <= 63, got {n_bits}")
         hashes = F.transform(toks, lambda t: poly_hash(t, mask=(1 << n_bits) - 1))
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))

@@ -363,7 +363,10 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
             {"n_data": 0, "lo": None, "hi": None, "gtid_first": None, "gtid_last": None,
              "segments": [], "ddls": []},
         )["ddls"].append({"event_id": d["event_id"], "query": d["query"]})
-    tmp = os.path.join(path, "_chunks.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(index, f, indent=1)
-    os.replace(tmp, os.path.join(path, "_chunks.json"))
+    # scheme:// log roots (s3a/hdfs/...) go through the Hadoop FS like the
+    # table metadata does; plain paths stay POSIX-atomic via os.replace
+    from bifrost_spark.metafs import metafs_for
+
+    metafs_for(spark, path).write_text_atomic(
+        os.path.join(path, "_chunks.json"), json.dumps(index, indent=1)
+    )

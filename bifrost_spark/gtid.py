@@ -17,15 +17,7 @@ exactly-once authority; ``gtid_executed`` is the exported view of it.
 
 from __future__ import annotations
 
-
-def _merge_intervals(ivals: list[list[int]]) -> list[list[int]]:
-    out: list[list[int]] = []
-    for lo, hi in sorted(ivals):
-        if out and lo <= out[-1][1] + 1:
-            out[-1][1] = max(out[-1][1], hi)
-        else:
-            out.append([lo, hi])
-    return out
+from bifrost_spark.intervals import merge_intervals as _merge_intervals
 
 
 class GtidSet:
@@ -107,21 +99,10 @@ class GtidSet:
         intervals was never produced — e.g. the synthetic stream's odd-id
         gaps); real MySQL txid sequences are contiguous per uuid and never
         fragment in the first place."""
-        out: dict[str, list[list[int]]] = {}
-        for u, ivs in self.sets.items():
-            ivs = [list(i) for i in ivs]
-            if len(ivs) > max_intervals_per_uuid:
-                gaps = sorted(range(len(ivs) - 1), key=lambda i: ivs[i + 1][0] - ivs[i][1])
-                bridge = set(gaps[: len(ivs) - max_intervals_per_uuid])
-                merged = [ivs[0]]
-                for i in range(1, len(ivs)):
-                    if (i - 1) in bridge:
-                        merged[-1][1] = ivs[i][1]
-                    else:
-                        merged.append(ivs[i])
-                ivs = merged
-            out[u] = ivs
-        return GtidSet(out)
+        return GtidSet({
+            u: _merge_intervals(ivs, max_intervals=max_intervals_per_uuid)
+            for u, ivs in self.sets.items()
+        })
 
     def subtract(self, other: "GtidSet | str") -> "GtidSet":
         """Set difference — what still needs replaying to reach ``self``

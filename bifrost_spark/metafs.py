@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 
@@ -126,15 +127,23 @@ class HadoopMetaFS:
         p = self._p(path)
         if self._fs.exists(p):
             self._fs.delete(p, False)
-        self._fs.rename(self._p(tmp), p)
+        # Hadoop rename reports failure via its RESULT, not an exception; a
+        # silently-false rename here would lose the commit (no CURRENT).
+        if not self._fs.rename(self._p(tmp), p):
+            # last resort: write the target directly (non-atomic but never
+            # silent) so the commit survives stores whose rename rejects.
+            self._write(path, text)
+            if not self._fs.exists(p):
+                raise OSError(f"rename and direct write both failed for {path}")
 
     def append_line(self, path: str, line: str) -> None:
         try:
             self._write(path, line + "\n", append=True)
         except Exception:
-            # object stores without append(): keep the sidecar as numbered
-            # immutable parts instead
-            part = path + f".part{uuid.uuid4().hex[:8]}"
+            # Object stores without append(): immutable part files instead.
+            # Zero-padded nanotime prefix ⇒ name order == append order, so
+            # the sorted read below preserves last-line-wins semantics.
+            part = path + f".part{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
             self._write(part, line + "\n")
 
     def read_lines(self, path: str):
@@ -144,11 +153,14 @@ class HadoopMetaFS:
             for ln in self.read_text(path).splitlines():
                 yield ln
         if self._fs.exists(parent):
-            for st in self._fs.listStatus(parent):
-                n = st.getPath().getName()
-                if n.startswith(name + ".part"):
-                    for ln in self.read_text(st.getPath().toString()).splitlines():
-                        yield ln
+            parts = sorted(
+                (st.getPath() for st in self._fs.listStatus(parent)
+                 if st.getPath().getName().startswith(name + ".part")),
+                key=lambda p: p.getName(),
+            )
+            for p in parts:
+                for ln in self.read_text(p.toString()).splitlines():
+                    yield ln
 
     def makedirs(self, path: str) -> None:
         self._fs.mkdirs(self._p(path))
@@ -184,3 +196,22 @@ def metafs_for(spark, path: str):
 
 def load_json(fs, path: str) -> dict:
     return json.loads(fs.read_text(path))
+
+
+def load_chunk_index(log_path: str, spark=None) -> dict:
+    """Read ``<log>/_chunks.json`` (the source-position index
+    ``generator.write_chunk_index`` produces); ``{}`` when absent or
+    unreadable.  The single loader for the replay engine, GTID resume, and
+    the position-validity scan.  Plain paths need no SparkSession;
+    ``scheme://`` roots go through the Hadoop FS and return ``{}`` when no
+    session is available to reach it."""
+    p = os.path.join(log_path, "_chunks.json")
+    try:
+        if "://" in log_path:
+            if spark is None:
+                return {}
+            return load_json(HadoopMetaFS(spark, log_path), p)
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return {}

@@ -72,33 +72,10 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in PK_COLUMNS]), F.lit(n_buckets)).cast("int")
 
 
-def _merge_ranges(ranges, max_intervals: int | None = None) -> list[list[int]]:
-    """Merge overlapping/adjacent [lo, hi] intervals into a minimal sorted
-    set, then (optionally) compact to ``max_intervals`` by bridging the
-    smallest gaps first.  Ordered replay commits contiguous event_id ranges,
-    so the merged set collapses toward ~1 interval and the manifest stays
-    O(1), not O(batches).  Bridging a gap claims its (never-delivered) ids as
-    covered — safe under the ordered commit discipline the range-containment
-    check requires anyway: an interval only commits after everything below
-    it, so an id strictly between two committed intervals corresponds to no
-    event (e.g. the odd-id gaps between even-id data chunks)."""
-    out: list[list[int]] = []
-    for lo, hi in sorted(ranges):
-        if out and lo <= out[-1][1] + 1:
-            out[-1][1] = max(out[-1][1], hi)
-        else:
-            out.append([lo, hi])
-    if max_intervals is not None and len(out) > max_intervals:
-        gaps = sorted(range(len(out) - 1), key=lambda i: out[i + 1][0] - out[i][1])
-        bridge = set(gaps[: len(out) - max_intervals])
-        compacted = [out[0]]
-        for i in range(1, len(out)):
-            if (i - 1) in bridge:
-                compacted[-1][1] = out[i][1]
-            else:
-                compacted.append(out[i])
-        out = compacted
-    return out
+# Ordered replay commits contiguous event_id ranges, so the merged set
+# collapses toward ~1 interval and the manifest stays O(1), not O(batches).
+# Shared with the GTID sets (same algebra): bifrost_spark/intervals.py.
+from bifrost_spark.intervals import merge_intervals as _merge_ranges  # noqa: E402
 
 
 class TargetTable:
@@ -294,7 +271,13 @@ class TargetTable:
     def bootstrap(self, snapshot_df: DataFrame, batch_id: str = "bootstrap") -> dict:
         """Initial full-sync load (reference "history", SURVEY.md §3.2):
         INSERT OVERWRITE of every bucket, event_id=0 rows."""
-        if self.is_applied(batch_id, (0, 0), range_exclusive=True):
+        # batch-id equality ONLY: range containment of (0,0) would also
+        # match any later commit touching event 0, silently skipping an
+        # intentional re-bootstrap under a fresh batch_id.  Ids live in a
+        # dedicated durable list (bootstraps are rare) so idempotence
+        # survives the bounded applied tail — a re-run would INSERT
+        # OVERWRITE replayed state.
+        if batch_id in self.state.get("bootstraps", []) or batch_id in self.applied_batch_ids:
             return {"skipped": True, "batch_id": batch_id}
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
@@ -309,6 +292,7 @@ class TargetTable:
         st["buckets"] = {str(b): snap for b in written}
         self._record_applied(st, {"batch_id": batch_id, "min_event_id": 0, "max_event_id": 0,
                                   "n_ops": None, "kind": "bootstrap", "committed_at": time.time()})
+        st["bootstraps"] = st.get("bootstraps", []) + [batch_id]
         self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "batch_id": batch_id, "buckets": len(written)}
@@ -395,7 +379,13 @@ class TargetTable:
                 F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
                 F.min("src_event_id").alias("min_event_id"),
                 F.max("src_event_id").alias("max_event_id"),
-                F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("content_bytes"),
+                # the broadcast-safety gate needs ALL payload bytes — a wide
+                # batch can live in DDL-added extras / the residual map with
+                # a tiny content column (to_json covers both in one expr)
+                F.sum(
+                    F.coalesce(F.length("content"), F.lit(0))
+                    + F.coalesce(F.length(F.to_json(F.struct(*extras, "extra"))), F.lit(0))
+                ).alias("content_bytes"),
             )
             .collect()
         )
@@ -749,18 +739,24 @@ class TargetTable:
         st = dict(self.state)
         st["snapshot"] = self._next_snapshot()
         st["last_event_id"] = max(st["last_event_id"], batch_range[1])
-        self._record_applied(st, {"batch_id": batch_id, "min_event_id": batch_range[0],
-                                  "max_event_id": batch_range[1], "kind": "dead_letter",
-                                  "n_ops": None, "error": error[:2000],
-                                  "path": dl_dir, "committed_at": time.time()})
+        entry = {"batch_id": batch_id, "min_event_id": batch_range[0],
+                 "max_event_id": batch_range[1], "kind": "dead_letter",
+                 "n_ops": None, "error": error[:2000],
+                 "path": dl_dir, "committed_at": time.time()}
+        self._record_applied(st, entry)
+        # A quarantine record is the ONLY pointer to the unrepaired data, so
+        # it lives in its own unbounded list — the applied tail is a bounded
+        # ring and would age it out after BIFROST_APPLIED_TAIL commits.
+        st["dead_letters"] = st.get("dead_letters", []) + [entry]
         self._write_snapshot(self._fs, self.path, st)
         self._load_state()
         return {"skipped": False, "dead_lettered": True, "batch_id": batch_id,
                 "path": dl_dir, "error": error[:500]}
 
     def dead_letters(self) -> list[dict]:
-        """Manifest entries for quarantined batches (recent tail)."""
-        return [a for a in self.state["applied"] if a.get("kind") == "dead_letter"]
+        """Quarantined batches awaiting repair (permanent record — survives
+        the bounded applied tail; entries leave via ``repair_dead_letter``)."""
+        return list(self.state.get("dead_letters", []))
 
     def repair_dead_letter(self, batch_id: str, lww_strategy: str = "agg") -> dict:
         """Re-apply a quarantined batch's raw events (after offline repair /
@@ -770,13 +766,24 @@ class TargetTable:
         superseded by newer events."""
         from bifrost_spark.operators.lww import events_to_ops
 
-        entry = next(a for a in self.dead_letters() if a["batch_id"] == batch_id)
+        entry = next((a for a in self.dead_letters() if a["batch_id"] == batch_id), None)
+        if entry is None:
+            raise KeyError(f"no dead-letter record for batch_id {batch_id!r}; "
+                           f"pending: {[a['batch_id'] for a in self.dead_letters()]}")
         events = self.spark.read.parquet(entry["path"])
-        return self.apply_ops(
+        res = self.apply_ops(
             events_to_ops(events), batch_id=f"repair:{batch_id}",
             batch_range=(entry["min_event_id"], entry["max_event_id"]),
             lww_strategy=lww_strategy,
         )
+        # repaired → retire the quarantine record (the raw events stay on
+        # disk under _deadletter/ until vacuumed by the operator)
+        st = dict(self.state)
+        st["dead_letters"] = [a for a in st.get("dead_letters", [])
+                              if a["batch_id"] != batch_id]
+        self._write_snapshot(self._fs, self.path, st)
+        self._load_state()
+        return res
 
     # ---------------------------------------------------------- maintenance
     def compact(self, tombstone_low_water_mark: int | None = None) -> dict:

@@ -25,7 +25,6 @@ Two Spark-first layers:
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -44,12 +43,10 @@ class PositionCheck:
     reason: str                # in_segment | gap | before_log | after_log | no_index
 
 
-def _load_index(log_path: str) -> dict | None:
-    try:
-        with open(os.path.join(log_path, "_chunks.json")) as f:
-            return json.load(f)
-    except (FileNotFoundError, ValueError):
-        return None
+def _load_index(log_path: str, spark: SparkSession | None = None) -> dict | None:
+    from bifrost_spark.metafs import load_chunk_index
+
+    return load_chunk_index(log_path, spark=spark) or None
 
 
 def check_position(
@@ -64,7 +61,7 @@ def check_position(
     (requires ``spark``) confirms the exact event boundary by scanning the
     candidate chunk with ``event_id >= requested`` pushed into the parquet
     scan — cost is one chunk, not the log."""
-    index = _load_index(log_path)
+    index = _load_index(log_path, spark)
     if not index:
         return PositionCheck(event_id, False, None, None, "no_index")
     # segments are (lo, hi) ranges per chunk, in chunk order

@@ -227,14 +227,11 @@ def gtid_resume_chunk(log_path: str, table: TargetTable) -> int:
     ``@slave_connect_state = gtid_executed`` would be resumed.  Falls back
     to 0 when the log carries no chunk index or no gtids (position-based
     resume via manifests still applies)."""
-    import json
-
     from bifrost_spark.gtid import GtidSet
+    from bifrost_spark.metafs import load_chunk_index
 
-    try:
-        with open(os.path.join(log_path, "_chunks.json")) as f:
-            index = json.load(f)
-    except (FileNotFoundError, ValueError):
+    index = load_chunk_index(log_path, spark=table.spark)
+    if not index:
         return 0
     executed = GtidSet.parse(table.gtid_executed)
     for i, chunk in enumerate(sorted(index)):
@@ -258,16 +255,13 @@ def replay_event_log(
     the micro-batch emulation driver (SURVEY.md §7 step 3).  ``start_chunk``
     lets a killed run resume; re-running committed chunks is a no-op via
     manifests (exactly-once)."""
+    from bifrost_spark.metafs import load_chunk_index, metafs_for
+
     engine = ReplayEngine(table, lww_strategy, ordered=ordered,
                           auto_compact_snapshots=auto_compact_snapshots)
-    chunks = sorted(d for d in os.listdir(log_path) if d.startswith("chunk="))
-    index: dict = {}
-    try:
-        import json
-        with open(os.path.join(log_path, "_chunks.json")) as f:
-            index = json.load(f)
-    except (FileNotFoundError, ValueError):
-        pass
+    chunks = sorted(d for d in metafs_for(spark, log_path).listdir(log_path)
+                    if d.startswith("chunk="))
+    index = load_chunk_index(log_path, spark=spark)
     results: list[dict] = []
     for chunk in chunks[start_chunk:end_chunk]:
         # explicit schema: chunk files carry exactly EVENT_SCHEMA, and

@@ -54,6 +54,19 @@ def test_truncate_drop_create_rename():
     assert classify_query("RENAME TABLE code.repos TO code.repos2").kind == "rename_table"
 
 
+def test_create_table_with_options_like_and_ctas():
+    # real MySQL binlog CREATEs virtually always carry table options
+    op = classify_query(
+        "CREATE TABLE code.repos (repo VARCHAR(255), stars INT) "
+        "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    )
+    assert op.kind == "create_table" and op.table_name == "repos"
+    assert [(c.column, c.logical_type) for c in op.sections] == [("repo", "string"), ("stars", "int")]
+    assert classify_query("CREATE TABLE t2 LIKE code.repos").kind == "create_table"
+    ctas = classify_query("CREATE TABLE t3 AS SELECT * FROM code.repos")
+    assert ctas.kind == "create_table" and not ctas.sections
+
+
 def test_comment_stripping():
     op = classify_query("/* gh-ost */ ALTER TABLE code.repos ADD COLUMN x INT -- trail")
     assert op.kind == "add_column" and op.column == "x"

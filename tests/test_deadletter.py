@@ -90,11 +90,27 @@ def test_poison_batch_dead_letters_and_stream_proceeds(spark, tmp_path, monkeypa
     replay = engine.apply_batch(_events(spark, 50, 50))
     assert replay == [] or replay[0].get("skipped")  # stale-skip or manifest skip
 
+    # the quarantine record survives the bounded applied tail (it is the
+    # ONLY pointer to the unrepaired data)
+    import os
+    os.environ["BIFROST_APPLIED_TAIL"] = "4"
+    try:
+        for i in range(6):
+            engine.apply_batch(_events(spark, 150 + i * 10, 10))
+    finally:
+        os.environ.pop("BIFROST_APPLIED_TAIL")
+    assert all(a.get("kind") != "dead_letter" for a in table.state["applied"])  # aged out of the tail
+    assert len(table.dead_letters()) == 1  # still on the permanent record
+
     # repaired events re-apply under a fresh repair: batch id (the original
-    # id stays on the applied record) through the normal guard path
+    # id stays on the applied record) through the normal guard path;
+    # repair retires the quarantine record
     res = table.repair_dead_letter(dls[0]["batch_id"])
     assert not res.get("skipped")
-    assert table.read().count() == 150
+    assert table.read().count() == 210
+    assert table.dead_letters() == []
+    with pytest.raises(KeyError, match="no dead-letter record"):
+        table.repair_dead_letter("merge:nope")
 
 
 def test_must_success_mode_raises(spark, tmp_path, monkeypatch):

@@ -97,6 +97,15 @@ def test_bootstrap_then_incremental(spark, tmp_path):
                 batch_id="b1", batch_range=(2, 2))
     s = _state(table)
     assert s[("r", "a")]["content"] == "inc" and s[("r", "b")]["content"] == "base"
+    # an EXPLICIT re-bootstrap under a fresh batch_id is an intentional
+    # reload, not a replay — it must run (id-equality skip, not range
+    # containment of (0,0)) and overwrite the incremental state
+    snap2 = snap.withColumn("content", F.lit("reloaded"))
+    assert table.bootstrap(snap2, batch_id="reload-1")["skipped"] is False
+    s = _state(table)
+    assert s[("r", "a")]["content"] == "reloaded"
+    # ...and the fresh id is itself idempotent
+    assert table.bootstrap(snap2, batch_id="reload-1")["skipped"] is True
 
 
 def test_ddl_add_column_then_merge_and_metadata_only_read(spark, tmp_path):
