@@ -580,13 +580,14 @@ class TargetTable:
         - batch ~ table (bootstrap-adjacent, bench shape): the FUSED path —
           MERGE *is* LWW, so union the live table rows (as ops at
           ``seq = 2*last_event_id + 1``, tombstones as deletes) with the raw
-          batch ops and take one hash-aggregated ``max_by`` per key.  ONE
-          payload shuffle total, with map-side partial combine; replaces
-          LWW-shuffle + sort-merge-join (two shuffles + two sorts) of the
-          naive plan.  Tie at equal seq can only be a redelivered identical
-          op, so either winner is byte-identical (guard semantics of
-          ``merge`` are preserved: a src op beats a table row only when
-          strictly newer).
+          batch ops and take one ``max_by`` per key.  ONE payload shuffle
+          total — hash-partitioned on ``bucket`` so the same exchange serves
+          the LWW aggregate AND the partitionBy("bucket") write (see the
+          single-exchange note in ``_merge_fused``); replaces LWW-shuffle +
+          sort-merge-join + write-repartition (three shuffles) of the naive
+          plan.  Tie at equal seq can only be a redelivered identical op, so
+          either winner is byte-identical (guard semantics of ``merge`` are
+          preserved: a src op beats a table row only when strictly newer).
         """
         if self.is_applied(batch_id, batch_range, range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
@@ -617,6 +618,7 @@ class TargetTable:
         src = src.select(
             *PK_COLUMNS, "op", "commit", "lang", "content", *extras, "extra",
             F.col("event_id"), F.col("seq").cast("long").alias("seq"),
+            bucket_expr(self.n_buckets).alias("bucket"),
         )
 
         tgt = self.read(buckets=None, include_deleted=True)
@@ -629,12 +631,29 @@ class TargetTable:
             # its delete — same encoding events_to_ops uses (2e / 2e+1).
             (F.col("last_event_id") * 2 + F.when(F.col("is_deleted"), F.lit(0)).otherwise(F.lit(1)))
             .cast("long").alias("seq"),
+            F.col("bucket"),
         )
 
+        # ONE payload exchange for LWW *and* the partitioned write: bucket is
+        # a pure function of the PK, so hash-partitioning on bucket alone
+        # already co-locates every row of a PK — and Catalyst accepts it,
+        # because HashPartitioning(bucket) satisfies the aggregate's
+        # ClusteredDistribution(bucket, repo, path) (partitioning exprs are a
+        # subset of the grouping exprs).  Grouping by (bucket, pk) is the
+        # same grouping as (pk) — bucket is functionally dependent — so the
+        # explicit repartition below is the ONLY exchange in the whole plan,
+        # and its bucket alignment flows through the aggregate straight into
+        # the partitionBy("bucket") write (one file per bucket, no second
+        # shuffle of the merged table).  Trade-off, documented: the partial
+        # max_by combine now runs above this exchange, so a batch whose hot
+        # KEY carries millions of redundant ops is not pre-collapsed map-side
+        # — that shape belongs to the broadcast path, whose LWW aggregate
+        # still combines before its own exchange (resolve_lww).
         val = F.struct("op", "commit", "lang", "content", *extras, "extra", "event_id")
         win = (
             src.unionByName(tgt_ops)
-            .groupBy(*PK_COLUMNS)
+            .repartition(2 * self.n_buckets, "bucket")
+            .groupBy("bucket", *PK_COLUMNS)
             .agg(F.max_by(val, F.col("seq")).alias("v"))
         )
         is_del = F.col("v.op") == "delete"
@@ -646,7 +665,7 @@ class TargetTable:
             is_del.alias("is_deleted"),
             *[F.when(is_del, F.lit(None)).otherwise(F.col(f"v.{c}")).alias(c) for c in extras],
             F.when(is_del, F.lit(None)).otherwise(F.col("v.extra")).alias("extra"),
-            bucket_expr(self.n_buckets).alias("bucket"),
+            F.col("bucket"),
         )
 
         from pyspark.sql import Observation
@@ -661,10 +680,10 @@ class TargetTable:
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
         (
-            # hash at 2x width: 1 file/bucket, no range-sampling pass (which
-            # would re-execute the whole fused merge once to pick bounds)
-            out.repartition(2 * self.n_buckets, "bucket")
-            .write.partitionBy("bucket")
+            # already hash-partitioned on bucket by the single exchange above
+            # (2x width: 1 file/bucket, hash collisions thinned) — writing
+            # here adds NO further shuffle.
+            out.write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )

@@ -119,7 +119,13 @@ def main() -> int:
     del os.environ["BIFROST_BCAST_TGT_RATIO"]
     resolved.unpersist()
 
-    # 4. fused merge: one payload exchange, hash agg, no sort
+    # 4. fused merge: the PRODUCTION plan shape (union → repartition(bucket)
+    # → groupBy(bucket, pk)) — one exchange serves both the LWW aggregate
+    # and the partitionBy("bucket") write, because HashPartitioning(bucket)
+    # satisfies ClusteredDistribution(bucket, repo, path) and bucket is a
+    # pure function of the PK (see _merge_fused's single-exchange note).
+    from bifrost_spark.operators.merge import bucket_expr
+
     fused_src = events_to_ops(events)
     tgt_ops = table.read(include_deleted=True).select(
         "repo", "path",
@@ -128,26 +134,34 @@ def main() -> int:
         F.col("last_event_id").alias("event_id"),
         (F.col("last_event_id") * 2 + F.when(F.col("is_deleted"), F.lit(0)).otherwise(F.lit(1)))
         .cast("long").alias("seq"),
+        F.col("bucket"),
     )
     val = F.struct("op", "commit", "lang", "content", "event_id")
     fused = (
-        fused_src.select("repo", "path", "op", "commit", "lang", "content", "event_id", "seq")
+        fused_src.select("repo", "path", "op", "commit", "lang", "content", "event_id", "seq",
+                         bucket_expr(table.n_buckets).alias("bucket"))
         .unionByName(tgt_ops)
-        .groupBy("repo", "path")
+        .repartition(2 * table.n_buckets, "bucket")
+        .groupBy("bucket", "repo", "path")
         .agg(F.max_by(val, F.col("seq")).alias("v"))
     )
     p = formatted(fused)
     checks = [
-        ("exactly one shuffle Exchange for the whole merge",
-         n_nodes(p, "Exchange") == 1),
+        ("exactly ONE shuffle Exchange for merge AND write layout "
+         "(the aggregate reuses the bucket exchange; the partitioned write "
+         "adds none)", n_nodes(p, "Exchange") == 1),
+        ("the one exchange is hash-partitioned on bucket",
+         "hashpartitioning(bucket" in p),
         ("no shuffled join (union + aggregate, not full-outer SMJ)",
          n_nodes(p, "SortMergeJoin") == 0 and n_nodes(p, "ShuffledHashJoin") == 0),
-        ("partial combine before the exchange", "partial_max_by" in p),
     ]
     # NB: SortAggregate + per-partition Sort is EXPECTED here — Spark has no
     # hash exec for struct-buffer aggregates, and measured A/B showed the
     # one-pass sort-agg beats a no-sort two-pass late-materialization plan.
-    sections.append(("Fused LWW∪table MERGE — one exchange, single pass", p, checks))
+    # The partial max_by combine runs ABOVE the exchange in this shape (the
+    # explicit bucket repartition is below the aggregate); the trade is one
+    # whole payload exchange of the merged table deleted from the plan.
+    sections.append(("Fused LWW∪table MERGE — one exchange end-to-end (incl. write)", p, checks))
 
     # 5. bucket-pruned read: partition filter, not data filter
     pruned = table.read(buckets=[1, 2])
