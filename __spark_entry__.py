@@ -1075,6 +1075,19 @@ def q_sim_ann_lsh(spark, sf_dir):
     )
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF coarse quantizer (FAISS-style) — deterministic
+    hash-sampled centroids, broadcast cell assignment with map-side argmax,
+    n_probe nearest cells per query, exact cosine re-rank.  Quantized
+    (round-6) cell scores make assignment engine-independent, so the DuckDB
+    oracle reproduces the exact candidate set and ranking."""
+    from bifrost_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+
+
 # --------------------------------------------------------------------------
 # oracle SQL builders for the portable-hash ops
 # --------------------------------------------------------------------------
@@ -1264,6 +1277,53 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, n_planes: int = 8,
     """
 
 
+def _ann_ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Full SQL recompute of ivf_topk: same multiplicative-hash centroid
+    sample (pure BIGINT arithmetic — no RNG), same quantized (round-6) cell
+    scores with ties to the lowest centroid id, same n_probe cell-equality
+    candidate join, exact cosine re-rank.  list_dot_product is a sequential
+    fold like the engine's F.aggregate, so sims are bit-equal."""
+    M = (1 << 31) - 1
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        ), cents AS (
+          SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 12345) % {M}, vec_id)
+                   AS centroid_id, v AS centv
+          FROM e ORDER BY (vec_id * 2654435761 + 12345) % {M}, vec_id LIMIT {n_centroids}
+        ), scores AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS csim
+          FROM e CROSS JOIN cents c
+        ), assign AS (
+          SELECT vec_id AS neighbor_id, centroid_id AS cell FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rnk
+            FROM scores) WHERE rnk = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, centroid_id AS cell FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rnk
+            FROM scores WHERE vec_id < 20) WHERE rnk <= {n_probe}
+        ), pairs AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id
+          FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+        ), scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS sim
+          FROM pairs p JOIN e qe ON p.query_id = qe.vec_id JOIN e ce ON p.neighbor_id = ce.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1304,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
         "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
@@ -1585,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _emb_near_dup_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
+        "sim_ann_ivf": _ann_ivf_oracle_sql(),
         "s6_canal_roundtrip": """
             SELECT event_id,
                    CASE event_type WHEN 'signup' THEN 'insert'

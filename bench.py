@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_quality",
     "f8_fanout",
 ]

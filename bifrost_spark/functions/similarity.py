@@ -164,6 +164,108 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer — the classic
+    FAISS-style alternative to LSH bucketing (``lsh_bucketed_topk``):
+
+    1. **Centroids**: the ``n_centroids`` corpus vectors with the smallest
+       multiplicative hash of their id — a deterministic uniform sample that
+       any engine reproduces from the ids alone (no RNG state, no k-means
+       iterations, so the whole index is exactly recomputable; a production
+       build would optionally Lloyd-refine these seeds).
+    2. **Assignment**: every corpus vector joins the BROADCAST centroid set
+       and keeps its nearest cell (quantized cosine, ties to the lowest
+       centroid id) — one narrow pass, map-side ``max_by`` combine, tiny
+       shuffle of (id, cell) pairs only.
+    3. **Probing**: each query ranks the same broadcast centroids and probes
+       its ``n_probe`` nearest cells; candidates are the vectors assigned to
+       a probed cell (cell-equality join — the inverted file), then an exact
+       cosine re-rank keeps the top ``k``.
+
+    Scale shape: the corpus never self-joins; the only wide dependencies are
+    the (id, cell) aggregation and the cell-keyed candidate join, both keyed
+    by cell ids that are uniform by construction of the hash-sampled
+    centroids.  Recall < 1.0 by construction; raise ``n_probe`` (or
+    ``n_centroids``) for recall, exactly like FAISS ``nprobe``.
+    Like the LSH path, vectors are late-materialized: candidates carry only
+    ids until the final re-rank fetches the two vectors per pair.
+    """
+    M = (1 << 31) - 1
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+
+    ckey = F.pmod(F.col("neighbor_id") * F.lit(2654435761) + F.lit(12345), F.lit(M))
+    # n_centroids rows total — the single-partition sort/window is bounded
+    # index metadata (like the driver-side DDL list), not a data path.
+    cents = (
+        c.withColumn("ckey", ckey)
+        .orderBy("ckey", "neighbor_id")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("ckey", "neighbor_id")).alias("centroid_id"),
+            F.col("cv").alias("centv"),
+        )
+    )
+
+    def cell_scores(side: DataFrame, sid: str, vcol: str) -> DataFrame:
+        """(sid, centroid_id, csim) against the broadcast centroids;
+        quantized cosine: rounding to 6 decimals before any argmax makes the
+        cell choice engine-independent (engines disagree on a dot product by
+        ~1 ulp; ties at the rounded value break to the lowest centroid id)."""
+        sim = F.round(
+            _dot(F.col(vcol), F.col("centv")) / (_norm(F.col(vcol)) * _norm(F.col("centv"))), 6
+        )
+        return side.join(F.broadcast(cents), how="cross").select(
+            sid, F.col("centroid_id"), sim.alias("csim")
+        )
+
+    # corpus assignment: argmax as a max_by AGGREGATE (not a window) — the
+    # partial combine collapses to one row per id map-side, so the only
+    # shuffled payload is (id, cell).  Ordering struct (csim, -centroid_id)
+    # == "highest sim, then lowest centroid id", the window tie-break below.
+    assign = (
+        cell_scores(c, "neighbor_id", "cv")
+        .groupBy("neighbor_id")
+        .agg(F.max_by(
+            "centroid_id", F.struct(F.col("csim"), (-F.col("centroid_id")).cast("long"))
+        ).alias("cell"))
+    )
+    # query probing needs top-n_probe cells, a genuine window — queries are
+    # the small side by construction.
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        cell_scores(q, query_id_col, "qv")
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select(query_id_col, F.col("centroid_id").alias("cell"))
+    )
+
+    pairs = (
+        probes.join(assign, on="cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    cand = pairs.join(q, query_id_col).join(c, "neighbor_id")
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(query_id_col, "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -155,6 +155,41 @@ def test_lsh_topk_finds_planted_neighbors(spark, emb):
             assert abs(bf[key] - r["sim"]) < 1e-9
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, emb):
+    from bifrost_spark.functions.similarity import ivf_topk
+
+    # a scaled copy has cosine 1.0 with its query → identical (rounded) cell
+    # scores → assigned to the same IVF cell, so probing the query's own cell
+    # must surface it as the top-1 neighbor
+    q = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    planted = q.select(
+        (F.col("query_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.000001)).alias("embedding"),
+        F.lit(-1).alias("label"),
+    )
+    corpus = emb.unionByName(planted)
+    out = ivf_topk(corpus, q, k=1, n_centroids=8, n_probe=2)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert top1 == {i: i + 100000 for i in range(10)}
+
+    # deterministic: same call twice → identical frames (hash-sampled
+    # centroids, quantized cell argmax — no RNG anywhere)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()))
+    assert a == b
+
+    # re-rank math agrees with brute force on shared candidates
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+          for r in brute_force_topk(emb, q, k=50).collect()}
+    hits = 0
+    for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            hits += 1
+            assert abs(bf[key] - r["sim"]) < 1e-9
+    assert hits > 0
+
+
 def test_text_quality_and_stats(spark, docs):
     qf = quality_features(docs)
     row = qf.agg(F.min("quality_score"), F.max("quality_score")).collect()[0]
