@@ -614,6 +614,19 @@ class TargetTable:
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
 
+        if os.environ.get("BIFROST_FUSED_PRELWW", "") not in ("", "0"):
+            # Hot-key escape hatch: the single-exchange plan below shuffles
+            # RAW batch ops to their bucket reducer, so a batch where one key
+            # carries millions of redundant ops lands them all on one task.
+            # Pre-resolving LWW here costs one extra PK exchange of the BATCH
+            # ONLY (map-side partial max_by collapses the hot key to ≤1 row
+            # per map task before it moves) — the table side still rides the
+            # single bucket exchange.  Off by default: at typical dup ratios
+            # the extra exchange costs more than it saves.
+            from bifrost_spark.operators.lww import resolve_lww
+
+            ops = resolve_lww(ops)
+
         src = self._materialize_extras(ops, sv)
         src = src.select(
             *PK_COLUMNS, "op", "commit", "lang", "content", *extras, "extra",

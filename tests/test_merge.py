@@ -240,6 +240,30 @@ def test_fused_out_of_order_batches_commute(spark, tmp_path, monkeypatch):
     assert s1[("r", "b")]["last_event_id"] == 22
 
 
+def test_fused_prelww_knob_equal_state(spark, tmp_path, monkeypatch):
+    """BIFROST_FUSED_PRELWW (hot-key escape hatch: resolve LWW on the batch
+    before the single-exchange fused union) must produce the exact same
+    final state as the default raw-ops fused path."""
+    monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", "0")  # force fused
+    rows = [("r", "a", "upsert", "c1", "py", "v1", None, 10),
+            ("r", "a", "upsert", "c2", "py", "v2", None, 11),
+            ("r", "a", "upsert", "c3", "py", "v3", None, 12),  # hot key: 3 dups
+            ("r", "b", "delete", None, None, None, None, 13),
+            ("r", "c", "upsert", "c5", "go", "x1", None, 14)]
+
+    def run(prelww):
+        if prelww:
+            monkeypatch.setenv("BIFROST_FUSED_PRELWW", "1")
+        else:
+            monkeypatch.delenv("BIFROST_FUSED_PRELWW", raising=False)
+        t = TargetTable.create(spark, str(tmp_path / f"tp_{prelww}"), n_buckets=4)
+        res = t.apply_ops(_ops(spark, rows), batch_id="b1", batch_range=(10, 14), n_ops_hint=len(rows))
+        assert res.get("fused"), res
+        return _state(t)
+
+    assert run(False) == run(True)
+
+
 def test_applied_ranges_stay_compact_and_skip_replay(spark, table, monkeypatch):
     """The commit manifest must stay O(1) over many ordered batches (merged
     interval set), and replay-skip must survive batch ids aging out of the
