@@ -36,6 +36,23 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _rerank_topk(pairs: DataFrame, q: DataFrame, c: DataFrame, k: int,
+                 query_id_col: str) -> DataFrame:
+    """Shared exact-cosine re-rank tail: fetch the two vectors per candidate
+    pair (late materialization), rank by sim desc / neighbor_id asc, keep
+    top-k.  The output contract (rounding, tie-break) of every top-k ANN
+    entry lives HERE so engine and oracles can never diverge per-path."""
+    cand = pairs.join(q, query_id_col).join(c, "neighbor_id")
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(query_id_col, "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,13 +217,21 @@ def ivf_topk(
     ids until the final re-rank fetches the two vectors per pair.
     """
     M = (1 << 31) - 1
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    # both sides are consumed twice (cell scoring + final re-rank), and the
+    # centroid plan twice more (assign + probes) — persist the narrow
+    # projections like the LSH path does (callers release via
+    # functions.cache.release_caches).
+    c = register_cache(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    q = register_cache(
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    )
 
     ckey = F.pmod(F.col("neighbor_id") * F.lit(2654435761) + F.lit(12345), F.lit(M))
     # n_centroids rows total — the single-partition sort/window is bounded
     # index metadata (like the driver-side DDL list), not a data path.
-    cents = (
+    cents = register_cache(
         c.withColumn("ckey", ckey)
         .orderBy("ckey", "neighbor_id")
         .limit(n_centroids)
@@ -249,21 +274,15 @@ def ivf_topk(
         .select(query_id_col, F.col("centroid_id").alias("cell"))
     )
 
+    # no dedup needed (unlike the multi-table LSH path): each corpus vector
+    # lives in exactly ONE cell and a query's probe cells are distinct, so a
+    # (query, neighbor) pair can arise from at most one cell-join row.
     pairs = (
         probes.join(assign, on="cell")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .select(query_id_col, "neighbor_id")
-        .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    cand = pairs.join(q, query_id_col).join(c, "neighbor_id")
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.select(query_id_col, "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _rerank_topk(pairs, q, c, k, query_id_col)
 
 
 def lsh_bucketed_topk(
@@ -304,14 +323,6 @@ def lsh_bucketed_topk(
         q_b.join(c_b, on=["tbl", "sig"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .select(query_id_col, "neighbor_id")
-        .dropDuplicates([query_id_col, "neighbor_id"])
+        .dropDuplicates([query_id_col, "neighbor_id"])  # ×n_tables duplicates
     )
-    cand = pairs.join(q, query_id_col).join(c, "neighbor_id")
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.select(query_id_col, "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _rerank_topk(pairs, q, c, k, query_id_col)

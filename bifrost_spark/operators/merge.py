@@ -614,7 +614,7 @@ class TargetTable:
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
 
-        if os.environ.get("BIFROST_FUSED_PRELWW", "") not in ("", "0"):
+        if os.environ.get("BIFROST_FUSED_PRELWW", "").lower() in ("1", "true", "yes"):
             # Hot-key escape hatch: the single-exchange plan below shuffles
             # RAW batch ops to their bucket reducer, so a batch where one key
             # carries millions of redundant ops lands them all on one task.
