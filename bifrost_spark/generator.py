@@ -318,6 +318,14 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
     df = spark.read.parquet(path).select(
         F.lpad(F.col("chunk").cast("string"), 4, "0").alias("chunk"),
         "event_id", "event_type", "query", "gtid",
+        # LWW key of the event (after-image PK; before-image for deletes) —
+        # feeds the per-segment distinct-key estimate the fused merge's
+        # hot-key decision uses (ops/keys ratio), still a pruned-column scan
+        F.concat_ws(
+            "\x01",
+            F.coalesce(F.col("after.repo"), F.col("before.repo")),
+            F.coalesce(F.col("after.path"), F.col("before.path")),
+        ).alias("_key"),
     )
     is_data = F.col("event_type").isin("insert", "update", "delete")
     ddl_rows = sorted(
@@ -338,6 +346,7 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
             F.max("event_id").alias("hi"),
             F.min_by(F.col("gtid"), F.col("event_id")).alias("gtid_first"),
             F.max_by(F.col("gtid"), F.col("event_id")).alias("gtid_last"),
+            F.approx_count_distinct("_key").alias("keys_est"),
         )
         .collect()
     )
@@ -351,6 +360,7 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
         e["segments"].append({
             "n_data": r["n_data"], "lo": r["lo"], "hi": r["hi"],
             "gtid_first": r["gtid_first"], "gtid_last": r["gtid_last"],
+            "keys_est": r["keys_est"],
         })
         e["n_data"] += r["n_data"]
         e["lo"] = r["lo"] if e["lo"] is None else min(e["lo"], r["lo"])

@@ -570,6 +570,7 @@ class TargetTable:
 
     def apply_ops(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
                   schema_version: int | None = None, n_ops_hint: int | None = None,
+                  n_keys_hint: int | None = None,
                   lww_strategy: str = "agg", range_exclusive: bool = False,
                   gtid_set: str | None = None) -> dict:
         """Apply RAW (un-deduped) keyed ops — cost-based physical choice:
@@ -606,23 +607,40 @@ class TargetTable:
             return self.merge(resolve_lww(ops, strategy=lww_strategy), batch_id=batch_id,
                               batch_range=batch_range, schema_version=schema_version,
                               range_exclusive=range_exclusive, gtid_set=gtid_set)
-        return self._merge_fused(ops, batch_id, batch_range, schema_version, gtid_set=gtid_set)
+        # Fused-path hot-key decision, cost-based like everything above: when
+        # the source tells us its distinct-key estimate (the chunk index
+        # records approx_count_distinct per segment at write time; the
+        # fallback stats scan computes it in the same agg), a batch whose
+        # ops-per-key ratio exceeds BIFROST_FUSED_PRELWW_RATIO (default 8)
+        # pre-resolves LWW so the duplicates collapse map-side BEFORE the
+        # single bucket exchange instead of piling onto one reducer.
+        # BIFROST_FUSED_PRELWW=1/0 force-overrides in either direction.
+        force = os.environ.get("BIFROST_FUSED_PRELWW", "").lower()
+        if force in ("1", "true", "yes"):
+            pre_lww = True
+        elif force in ("0", "false", "no"):
+            pre_lww = False
+        else:
+            ratio = float(os.environ.get("BIFROST_FUSED_PRELWW_RATIO", "8"))
+            pre_lww = bool(n_keys_hint) and n_ops >= ratio * n_keys_hint
+        return self._merge_fused(ops, batch_id, batch_range, schema_version,
+                                 gtid_set=gtid_set, pre_lww=pre_lww)
 
     def _merge_fused(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
-                     schema_version: int | None = None, gtid_set: str | None = None) -> dict:
+                     schema_version: int | None = None, gtid_set: str | None = None,
+                     pre_lww: bool = False) -> dict:
         sv = self.state["schema_version"] if schema_version is None else schema_version
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
 
-        if os.environ.get("BIFROST_FUSED_PRELWW", "").lower() in ("1", "true", "yes"):
-            # Hot-key escape hatch: the single-exchange plan below shuffles
-            # RAW batch ops to their bucket reducer, so a batch where one key
-            # carries millions of redundant ops lands them all on one task.
-            # Pre-resolving LWW here costs one extra PK exchange of the BATCH
-            # ONLY (map-side partial max_by collapses the hot key to ≤1 row
-            # per map task before it moves) — the table side still rides the
-            # single bucket exchange.  Off by default: at typical dup ratios
-            # the extra exchange costs more than it saves.
+        if pre_lww:
+            # Hot-key mitigation (chosen cost-based in apply_ops): the
+            # single-exchange plan below shuffles RAW batch ops to their
+            # bucket reducer, so a dup-heavy batch would pile one key's ops
+            # onto one task.  Pre-resolving LWW costs one extra PK exchange
+            # of the BATCH ONLY (map-side partial max_by collapses the hot
+            # key to ≤1 row per map task before it moves) — the table side
+            # still rides the single bucket exchange.
             from bifrost_spark.operators.lww import resolve_lww
 
             ops = resolve_lww(ops)
@@ -721,7 +739,7 @@ class TargetTable:
                           "max_event_id": m["max_event_id"], "buckets": len(written)}],
              "bucket_rows": self._bucket_rows_from_footers(out_dir, written)}
         )
-        return {"skipped": False, "batch_id": batch_id, "fused": True,
+        return {"skipped": False, "batch_id": batch_id, "fused": True, "pre_lww": pre_lww,
                 "buckets_rewritten": len(written), "n_ops": None, "wall_ms": wall_ms}
 
     def _bucket_rows_from_footers(self, out_dir: str, buckets: list[int],

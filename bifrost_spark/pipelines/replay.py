@@ -133,6 +133,7 @@ class ReplayEngine:
                     results.extend(self._merge_segment(
                         seg_df, n=item["n_data"], lo=item["lo"], hi=item["hi"],
                         gtid_set=_gtid_range(item.get("gtid_first"), item.get("gtid_last")),
+                        keys_est=item.get("keys_est"),
                     ))
                 else:
                     results.append(self.table.apply_ddl(
@@ -141,10 +142,16 @@ class ReplayEngine:
                     ))
             return results
         t0 = time.time()
+        lww_key = F.concat_ws(
+            "\x01",
+            F.coalesce(F.col("after.repo"), F.col("before.repo")),
+            F.coalesce(F.col("after.path"), F.col("before.path")),
+        )
         stats = events.agg(
             F.count(F.when(live, 1)).alias("n"),
             F.min(F.when(live, F.col("event_id"))).alias("lo"),
             F.max(F.when(live, F.col("event_id"))).alias("hi"),
+            F.approx_count_distinct(F.when(live, lww_key)).alias("keys_est"),
             F.sort_array(
                 F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
             ).alias("ddls"),
@@ -155,7 +162,7 @@ class ReplayEngine:
         if not ddls:
             return self._merge_segment(
                 events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"],
-                stats_ms=stats_ms,
+                stats_ms=stats_ms, keys_est=stats["keys_est"],
             )
 
         # DDL barrier path: segment the batch so a merge never mixes two
@@ -183,7 +190,8 @@ class ReplayEngine:
 
     def _merge_segment(self, seg: DataFrame, n: int | None = None,
                        lo: int | None = None, hi: int | None = None,
-                       stats_ms: float = 0.0, gtid_set: str | None = None) -> list[dict]:
+                       stats_ms: float = 0.0, gtid_set: str | None = None,
+                       keys_est: int | None = None) -> list[dict]:
         # F9 stale-event skip (reference: channel_consume.go:300-314): a
         # redelivered batch — even one sliced differently than the original
         # (checkpoint wipe, changed trigger size) — contributes nothing below
@@ -193,8 +201,15 @@ class ReplayEngine:
         if n is None:
             if self.ordered:
                 seg = seg.filter(F.col("event_id") > F.lit(self.table.last_event_id))
-            r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"), F.count("*").alias("n")).collect()[0]
-            n, lo, hi = r["n"], r["lo"], r["hi"]
+            lww_key = F.concat_ws(
+                "\x01",
+                F.coalesce(F.col("after.repo"), F.col("before.repo")),
+                F.coalesce(F.col("after.path"), F.col("before.path")),
+            )
+            r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"),
+                        F.count("*").alias("n"),
+                        F.approx_count_distinct(lww_key).alias("keys_est")).collect()[0]
+            n, lo, hi, keys_est = r["n"], r["lo"], r["hi"], r["keys_est"]
         if n == 0:
             return []
         batch_id = f"merge:{lo}-{hi}"
@@ -205,7 +220,7 @@ class ReplayEngine:
             try:
                 res = self.table.apply_ops(
                     events_to_ops(seg), batch_id=batch_id, batch_range=(lo, hi),
-                    n_ops_hint=n, lww_strategy=self.lww_strategy,
+                    n_ops_hint=n, n_keys_hint=keys_est, lww_strategy=self.lww_strategy,
                     range_exclusive=self.ordered, gtid_set=gtid_set,
                 )
                 res["stats_ms"] = round(stats_ms, 1)

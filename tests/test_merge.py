@@ -241,27 +241,35 @@ def test_fused_out_of_order_batches_commute(spark, tmp_path, monkeypatch):
 
 
 def test_fused_prelww_knob_equal_state(spark, tmp_path, monkeypatch):
-    """BIFROST_FUSED_PRELWW (hot-key escape hatch: resolve LWW on the batch
-    before the single-exchange fused union) must produce the exact same
-    final state as the default raw-ops fused path."""
+    """Pre-LWW on the fused path (hot-key mitigation: resolve LWW on the
+    batch before the single-exchange fused union) must produce the exact
+    same final state as the raw-ops fused path — and the choice is
+    cost-based: a dup-heavy batch (ops >> distinct-keys estimate) enables it
+    automatically, an even batch does not, and the env knob force-overrides
+    in both directions."""
     monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", "0")  # force fused
-    rows = [("r", "a", "upsert", "c1", "py", "v1", None, 10),
-            ("r", "a", "upsert", "c2", "py", "v2", None, 11),
-            ("r", "a", "upsert", "c3", "py", "v3", None, 12),  # hot key: 3 dups
-            ("r", "b", "delete", None, None, None, None, 13),
-            ("r", "c", "upsert", "c5", "go", "x1", None, 14)]
+    rows = [("r", "a", "upsert", f"c{i}", "py", f"v{i}", None, 10 + i) for i in range(20)]  # hot key
+    rows += [("r", "b", "delete", None, None, None, None, 40),
+             ("r", "c", "upsert", "c5", "go", "x1", None, 41)]
 
-    def run(prelww):
-        if prelww:
-            monkeypatch.setenv("BIFROST_FUSED_PRELWW", "1")
-        else:
-            monkeypatch.delenv("BIFROST_FUSED_PRELWW", raising=False)
-        t = TargetTable.create(spark, str(tmp_path / f"tp_{prelww}"), n_buckets=4)
-        res = t.apply_ops(_ops(spark, rows), batch_id="b1", batch_range=(10, 14), n_ops_hint=len(rows))
+    def run(tag, env=None, n_keys_hint=None):
+        monkeypatch.delenv("BIFROST_FUSED_PRELWW", raising=False)
+        if env is not None:
+            monkeypatch.setenv("BIFROST_FUSED_PRELWW", env)
+        t = TargetTable.create(spark, str(tmp_path / f"tp_{tag}"), n_buckets=4)
+        res = t.apply_ops(_ops(spark, rows), batch_id="b1", batch_range=(10, 41),
+                          n_ops_hint=len(rows), n_keys_hint=n_keys_hint)
         assert res.get("fused"), res
-        return _state(t)
+        return res["pre_lww"], _state(t)
 
-    assert run(False) == run(True)
+    on, s_forced = run("force_on", env="1")
+    off, s_default = run("default")
+    auto_on, s_auto = run("auto", n_keys_hint=2)       # 22 ops / 2 keys > 8
+    auto_off, s_even = run("even", n_keys_hint=20)     # 22 ops / 20 keys < 8
+    force_off, s_off = run("force_off", env="0", n_keys_hint=1)
+
+    assert (on, off, auto_on, auto_off, force_off) == (True, False, True, False, False)
+    assert s_forced == s_default == s_auto == s_even == s_off
 
 
 def test_applied_ranges_stay_compact_and_skip_replay(spark, table, monkeypatch):

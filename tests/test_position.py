@@ -97,3 +97,18 @@ def test_nearest_valid_positions_batch(spark, tmp_path):
     assert got[ids[3] + 1] == (False, ids[4])
     assert got[ids[-1]] == (True, ids[-1])
     assert got[ids[-1] + 99] == (False, None)
+
+
+def test_index_carries_distinct_key_estimate(spark, tmp_path):
+    """Each segment of _chunks.json records keys_est (approx distinct LWW
+    keys) — the signal the fused merge's cost-based hot-key pre-LWW uses."""
+    from bifrost_spark.metafs import load_chunk_index
+
+    path, ids = _log(spark, tmp_path)
+    index = load_chunk_index(path, spark=spark)
+    assert index
+    for chunk, entry in index.items():
+        for seg in entry["segments"]:
+            # approx_count_distinct error is ~5%; the bound here only needs
+            # sanity: positive and no larger than the segment's event count
+            assert 1 <= seg["keys_est"] <= int(seg["n_data"] * 1.1), (chunk, seg)
