@@ -1075,6 +1075,45 @@ def q_sim_ann_lsh(spark, sf_dir):
     )
 
 
+def q_doc_pipeline(spark, sf_dir):
+    """END-TO-END training-data pipeline over the documents table — the
+    composition the individual ops exist for: language-ID → quality gate
+    (distinct-token ratio ≥ 0.4, ≥ 20 tokens) → exact dedup keep-one
+    (lowest doc_id per content hash) → per-language-class corpus stats.
+    Every stage is a JVM expression pipeline; the aggregate reports only
+    order-independent metrics (integer counts/sums, min/max of quantized
+    ratios) so the oracle compares bit-exactly."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    score_data = F.size(F.filter(toks, lambda t: t.isin("data", "table", "row", "column")))
+    score_flow = F.size(F.filter(toks, lambda t: t.isin("stream", "batch", "window", "merge")))
+    pred = (
+        F.when(score_data > score_flow, F.lit("datalike"))
+        .when(score_flow > score_data, F.lit("flowlike"))
+        .otherwise(F.lit("mixed"))
+    )
+    scored = docs.select(
+        "doc_id", "text",
+        pred.alias("pred_class"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("distinct_ratio"),
+    )
+    gated = scored.filter((F.col("distinct_ratio") >= 0.4) & (F.col("n_tokens") >= 20))
+    # exact dedup keep-one: survivors collapse to the lowest doc_id per hash;
+    # keep each survivor's own row (semi-join back on the winning ids).
+    keep = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return (
+        kept.groupBy("pred_class")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("distinct_ratio").alias("min_distinct_ratio"),
+            F.max("distinct_ratio").alias("max_distinct_ratio"),
+        )
+    )
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF coarse quantizer (FAISS-style) — deterministic
     hash-sampled centroids, broadcast cell assignment with map-side argmax,
@@ -1365,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "doc_pipeline": q_doc_pipeline,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
         "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
@@ -1647,6 +1687,37 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "sim_ann_ivf": _ann_ivf_oracle_sql(),
+        "doc_pipeline": """
+            WITH scored AS (
+              SELECT doc_id, text,
+                     CASE WHEN sd > sf THEN 'datalike'
+                          WHEN sf > sd THEN 'flowlike'
+                          ELSE 'mixed' END AS pred_class,
+                     n_tokens,
+                     round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio
+              FROM (
+                SELECT doc_id, text,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('data','table','row','column'))) AS sd,
+                       len(list_filter(string_split(text, ' '),
+                           t -> t IN ('stream','batch','window','merge'))) AS sf,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_distinct
+                FROM documents)
+            ), gated AS (
+              SELECT * FROM scored WHERE distinct_ratio >= 0.4 AND n_tokens >= 20
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+            ), kept AS (
+              SELECT g.* FROM gated g JOIN keep k USING (doc_id)
+            )
+            SELECT pred_class,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(distinct_ratio) AS min_distinct_ratio,
+                   max(distinct_ratio) AS max_distinct_ratio
+            FROM kept GROUP BY pred_class
+        """,
         "s6_canal_roundtrip": """
             SELECT event_id,
                    CASE event_type WHEN 'signup' THEN 'insert'
