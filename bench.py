@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_quality",
+    "doc_pipeline",
     "f8_fanout",
 ]
 # dedup_simhash is oracle-checked (CORRECTNESS) but not benched: the
