@@ -141,35 +141,41 @@ class ReplayEngine:
                         event_id=item["event_id"], range_exclusive=self.ordered,
                     ))
             return results
+        # Scan path (no source hints — the streaming file stream, an external
+        # caller): the batch is consumed at least twice (this stats agg, then
+        # the merge), so persist it — the stats agg materializes the cache
+        # and every later consumer reads memory instead of re-scanning the
+        # source.  Also what makes the stream's numInputRows metric equal
+        # the true event count (one source scan per micro-batch).
         t0 = time.time()
-        lww_key = F.concat_ws(
-            "\x01",
-            F.coalesce(F.col("after.repo"), F.col("before.repo")),
-            F.coalesce(F.col("after.path"), F.col("before.path")),
-        )
-        stats = events.agg(
-            F.count(F.when(live, 1)).alias("n"),
-            F.min(F.when(live, F.col("event_id"))).alias("lo"),
-            F.max(F.when(live, F.col("event_id"))).alias("hi"),
-            F.approx_count_distinct(F.when(live, lww_key)).alias("keys_est"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
-            ).alias("ddls"),
-        ).collect()[0]
-        ddls = list(stats["ddls"])
-        stats_ms = (time.time() - t0) * 1000
-
-        if not ddls:
-            return self._merge_segment(
-                events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"],
-                stats_ms=stats_ms, keys_est=stats["keys_est"],
-            )
-
-        # DDL barrier path: segment the batch so a merge never mixes two
-        # schema versions of one table.  DDLs are rare; the per-segment agg
-        # is acceptable here and events are cached across segments.
         events = events.persist()
         try:
+            lww_key = F.concat_ws(
+                "\x01",
+                F.coalesce(F.col("after.repo"), F.col("before.repo")),
+                F.coalesce(F.col("after.path"), F.col("before.path")),
+            )
+            stats = events.agg(
+                F.count(F.when(live, 1)).alias("n"),
+                F.min(F.when(live, F.col("event_id"))).alias("lo"),
+                F.max(F.when(live, F.col("event_id"))).alias("hi"),
+                F.approx_count_distinct(F.when(live, lww_key)).alias("keys_est"),
+                F.sort_array(
+                    F.collect_list(F.when(F.col("event_type") == "ddl", F.struct("event_id", "query")))
+                ).alias("ddls"),
+            ).collect()[0]
+            ddls = list(stats["ddls"])
+            stats_ms = (time.time() - t0) * 1000
+
+            if not ddls:
+                return self._merge_segment(
+                    events.filter(live), n=stats["n"], lo=stats["lo"], hi=stats["hi"],
+                    stats_ms=stats_ms, keys_est=stats["keys_est"],
+                )
+
+            # DDL barrier path: segment the batch so a merge never mixes two
+            # schema versions of one table.  DDLs are rare; the per-segment
+            # agg is acceptable here and events stay cached across segments.
             results: list[dict] = []
             bounds = [-1] + [r["event_id"] for r in ddls] + [None]
             for i in range(len(bounds) - 1):

@@ -42,9 +42,25 @@ def start_cdc_stream(
     lww_strategy: str = "agg",
     ordered: bool = False,
     auto_compact_snapshots: int | None = None,
+    query_name: str | None = None,
+    metrics: bool = True,
 ) -> StreamingQuery:
     engine = ReplayEngine(table, lww_strategy, ordered=ordered,
                           auto_compact_snapshots=auto_compact_snapshots)
+    if query_name is None:
+        # unique per start: the metrics listener is session-global and
+        # filters on the query name, so a reused name would route one
+        # stream's progress into every same-named table's metrics file.
+        import uuid
+
+        query_name = f"bifrost_cdc_{uuid.uuid4().hex[:8]}"
+    if metrics:
+        # throughput metrics per micro-batch → _state/stream_metrics.jsonl
+        # (the reference's flow-monitor counters, streaming/metrics.py);
+        # registered BEFORE start so the first batch is captured.
+        from bifrost_spark.streaming.metrics import StreamMetricsListener
+
+        spark.streams.addListener(StreamMetricsListener(table, query_name))
     # NB: StructType.add mutates in place — build a copy, never touch the
     # shared EVENT_SCHEMA.
     stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])
@@ -59,7 +75,11 @@ def start_cdc_stream(
         engine.apply_batch(batch_df)
         engine.maybe_maintain()
 
-    writer = events.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
+    writer = (
+        events.writeStream.queryName(query_name)
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

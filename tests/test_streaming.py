@@ -72,3 +72,37 @@ def test_streaming_auto_compact_preserves_residual_extras(spark, tmp_path):
     actual = table.to_pandas_sorted().reset_index(drop=True)
     assert content_sha_map(actual) == content_sha_map(expected)
     assert expected.equals(actual[expected.columns.tolist()])
+
+
+def test_stream_metrics_recorded(spark, tmp_path):
+    """Every micro-batch's throughput progress lands in
+    _state/stream_metrics.jsonl (flow-monitor parity): input-row total equals
+    the log's event count and batch ids are distinct.  Listener delivery is
+    async — poll briefly after termination."""
+    import time
+
+    from bifrost_spark.streaming.metrics import stream_metrics
+
+    events = generate_events(spark, CFG)
+    snap = generate_snapshot(spark, CFG)
+    log = str(tmp_path / "log")
+    write_event_log(events, log, n_chunks=5)
+    n_events = events.count()
+
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    table.bootstrap(snap)
+    q = start_cdc_stream(spark, log, table, str(tmp_path / "ckpt"), max_files_per_trigger=4)
+    q.awaitTermination(300)
+
+    entries = []
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        entries = [e for e in stream_metrics(table) if e["num_input_rows"] > 0]
+        if sum(e["num_input_rows"] for e in entries) >= n_events:
+            break
+        time.sleep(0.5)
+    assert sum(e["num_input_rows"] for e in entries) == n_events
+    batch_ids = [e["batch_id"] for e in entries]
+    assert len(batch_ids) == len(set(batch_ids)) >= 2
+    assert all(e["duration_ms"].get("triggerExecution", 0) >= 0 for e in entries)
+    assert all(e["query"].startswith("bifrost_cdc_") for e in entries)
