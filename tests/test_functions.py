@@ -262,6 +262,29 @@ def test_lsh_topk_dim768_plans_fast(spark):
     release_caches()
 
 
+def test_ivf_topk_dim768_plans_fast(spark):
+    """IVF at real embedding dims: the dot products are F.aggregate lambdas
+    over the array column — O(1) Catalyst nodes regardless of dim — and the
+    centroid set is bounded; planning + execution must stay in seconds."""
+    import time
+
+    import numpy as np
+
+    from bifrost_spark.functions.similarity import ivf_topk
+
+    rng = np.random.RandomState(4)
+    rows = [(i, rng.randn(768).astype(float).tolist()) for i in range(40)]
+    emb768 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb768.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "query_id")
+    t0 = time.time()
+    out = ivf_topk(emb768, q, k=3, n_centroids=8, n_probe=3)
+    n = out.count()
+    assert time.time() - t0 < 60
+    assert n <= 4 * 3
+    from bifrost_spark.functions.cache import release_caches
+    release_caches()
+
+
 def test_embedding_near_dup_pairs_planted(spark, emb):
     """Planted scaled copies (cosine 1.0, identical projection signs) must
     pair with their originals; random corpus pairs stay below threshold."""
