@@ -14,6 +14,19 @@ Offsets become the ordering key: ``event_id = offset`` per partition with
 ``file_num = partition`` standing in for the binlog file (the reference does
 the same positional encoding).  Everything is JVM-side JSON parsing; no
 Python in the row path.
+
+Live wiring (needs the connector jar, absent in this sandbox)::
+
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> ...
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic).load()
+           .selectExpr("topic", "partition", "offset", "timestamp",
+                       "CAST(value AS STRING) AS value"))
+    events = decode_canal_json(raw)     # or decode_debezium_json /
+                                        # decode_bifrost_json /
+                                        # decode_customer_json / decode_string
+    start = events.writeStream.foreachBatch(...)   # streaming/job.py shape
 """
 
 from __future__ import annotations
