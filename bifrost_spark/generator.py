@@ -315,17 +315,15 @@ def write_chunk_index(spark: SparkSession, path: str) -> None:
 
     # partition-type inference turns the chunk=0000 dir value into int 0;
     # re-pad so index keys match the directory names replay iterates
+    from bifrost_spark.operators.lww import lww_key_expr
+
     df = spark.read.parquet(path).select(
         F.lpad(F.col("chunk").cast("string"), 4, "0").alias("chunk"),
         "event_id", "event_type", "query", "gtid",
         # LWW key of the event (after-image PK; before-image for deletes) —
         # feeds the per-segment distinct-key estimate the fused merge's
         # hot-key decision uses (ops/keys ratio), still a pruned-column scan
-        F.concat_ws(
-            "\x01",
-            F.coalesce(F.col("after.repo"), F.col("before.repo")),
-            F.coalesce(F.col("after.path"), F.col("before.path")),
-        ).alias("_key"),
+        lww_key_expr().alias("_key"),
     )
     is_data = F.col("event_type").isin("insert", "update", "delete")
     ddl_rows = sorted(

@@ -36,6 +36,17 @@ from bifrost_spark.schemas import PK_COLUMNS
 OP_PAYLOAD = ["commit", "lang", "content", "extra"]
 
 
+def lww_key_expr():
+    """The LWW identity of a raw EVENT row (after-image PK; before-image
+    for deletes) as one string column — built from PK_COLUMNS so key
+    definition has a single source of truth.  Used for the distinct-key
+    estimates that drive the fused merge's hot-key cost decision."""
+    return F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")) for c in PK_COLUMNS],
+    )
+
+
 def events_to_ops(events: DataFrame) -> DataFrame:
     """Normalize insert/update/delete events into keyed ops.
 

@@ -624,11 +624,12 @@ class TargetTable:
             ratio = float(os.environ.get("BIFROST_FUSED_PRELWW_RATIO", "8"))
             pre_lww = bool(n_keys_hint) and n_ops >= ratio * n_keys_hint
         return self._merge_fused(ops, batch_id, batch_range, schema_version,
-                                 gtid_set=gtid_set, pre_lww=pre_lww)
+                                 gtid_set=gtid_set, pre_lww=pre_lww,
+                                 lww_strategy=lww_strategy)
 
     def _merge_fused(self, ops: DataFrame, batch_id: str, batch_range: tuple[int, int],
                      schema_version: int | None = None, gtid_set: str | None = None,
-                     pre_lww: bool = False) -> dict:
+                     pre_lww: bool = False, lww_strategy: str = "agg") -> dict:
         sv = self.state["schema_version"] if schema_version is None else schema_version
         extras = [n for n, _t in self.registry.extra_columns(sv)]
         t0 = time.time()
@@ -640,10 +641,12 @@ class TargetTable:
             # onto one task.  Pre-resolving LWW costs one extra PK exchange
             # of the BATCH ONLY (map-side partial max_by collapses the hot
             # key to ≤1 row per map task before it moves) — the table side
-            # still rides the single bucket exchange.
+            # still rides the single bucket exchange.  The caller's
+            # lww_strategy is honored — salted_window exists precisely for
+            # the hot-key batches that land here.
             from bifrost_spark.operators.lww import resolve_lww
 
-            ops = resolve_lww(ops)
+            ops = resolve_lww(ops, strategy=lww_strategy)
 
         src = self._materialize_extras(ops, sv)
         src = src.select(

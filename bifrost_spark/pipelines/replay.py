@@ -150,11 +150,9 @@ class ReplayEngine:
         t0 = time.time()
         events = events.persist()
         try:
-            lww_key = F.concat_ws(
-                "\x01",
-                F.coalesce(F.col("after.repo"), F.col("before.repo")),
-                F.coalesce(F.col("after.path"), F.col("before.path")),
-            )
+            from bifrost_spark.operators.lww import lww_key_expr
+
+            lww_key = lww_key_expr()
             stats = events.agg(
                 F.count(F.when(live, 1)).alias("n"),
                 F.min(F.when(live, F.col("event_id"))).alias("lo"),
@@ -207,14 +205,11 @@ class ReplayEngine:
         if n is None:
             if self.ordered:
                 seg = seg.filter(F.col("event_id") > F.lit(self.table.last_event_id))
-            lww_key = F.concat_ws(
-                "\x01",
-                F.coalesce(F.col("after.repo"), F.col("before.repo")),
-                F.coalesce(F.col("after.path"), F.col("before.path")),
-            )
+            from bifrost_spark.operators.lww import lww_key_expr
+
             r = seg.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"),
                         F.count("*").alias("n"),
-                        F.approx_count_distinct(lww_key).alias("keys_est")).collect()[0]
+                        F.approx_count_distinct(lww_key_expr()).alias("keys_est")).collect()[0]
             n, lo, hi, keys_est = r["n"], r["lo"], r["hi"], r["keys_est"]
         if n == 0:
             return []

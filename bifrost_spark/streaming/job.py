@@ -57,10 +57,11 @@ def start_cdc_stream(
     if metrics:
         # throughput metrics per micro-batch → _state/stream_metrics.jsonl
         # (the reference's flow-monitor counters, streaming/metrics.py);
-        # registered BEFORE start so the first batch is captured.
+        # registered BEFORE start so the first batch is captured, and
+        # self-deregistering on query termination (no listener leak).
         from bifrost_spark.streaming.metrics import StreamMetricsListener
 
-        spark.streams.addListener(StreamMetricsListener(table, query_name))
+        spark.streams.addListener(StreamMetricsListener(spark, table, query_name))
     # NB: StructType.add mutates in place — build a copy, never touch the
     # shared EVENT_SCHEMA.
     stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])

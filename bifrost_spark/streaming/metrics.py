@@ -27,20 +27,32 @@ from bifrost_spark.operators.merge import TargetTable
 
 
 class StreamMetricsListener(StreamingQueryListener):
-    """Appends one JSONL record per micro-batch of the named query."""
+    """Appends one JSONL record per micro-batch of the named query.
 
-    def __init__(self, table: TargetTable, query_name: str):
+    Lifecycle: the listener is session-global, so it DEREGISTERS ITSELF when
+    its query terminates — otherwise every stream (re)start would leak one
+    listener that pins its table handle and re-parses every other query's
+    progress forever, and a reused query name would double-append metrics.
+    """
+
+    def __init__(self, spark, table: TargetTable, query_name: str):  # noqa: ANN001
+        self.spark = spark
         self.table = table
         self.query_name = query_name
+        self.query_id: str | None = None
 
     # -- StreamingQueryListener interface (driver-side, async) ------------
     def onQueryStarted(self, event) -> None:  # noqa: ANN001, N802
-        pass
+        if event.name == self.query_name and self.query_id is None:
+            self.query_id = str(event.id)
 
     def onQueryProgress(self, event) -> None:  # noqa: ANN001, N802
-        p = json.loads(event.progress.json)
-        if p.get("name") != self.query_name:
+        # cheap name check BEFORE deserializing the full progress payload —
+        # this runs on the shared listener-bus thread for every query's
+        # every micro-batch
+        if event.progress.name != self.query_name:
             return
+        p = json.loads(event.progress.json)
         entry = {
             "kind": "stream_progress",
             "query": p.get("name"),
@@ -57,7 +69,8 @@ class StreamMetricsListener(StreamingQueryListener):
         )
 
     def onQueryTerminated(self, event) -> None:  # noqa: ANN001, N802
-        pass
+        if self.query_id is not None and str(event.id) == self.query_id:
+            self.spark.streams.removeListener(self)
 
     def onQueryIdle(self, event) -> None:  # noqa: ANN001, N802
         pass
