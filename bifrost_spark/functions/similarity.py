@@ -190,15 +190,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) coarse quantizer — the classic
     FAISS-style alternative to LSH bucketing (``lsh_bucketed_topk``):
 
     1. **Centroids**: the ``n_centroids`` corpus vectors with the smallest
        multiplicative hash of their id — a deterministic uniform sample that
-       any engine reproduces from the ids alone (no RNG state, no k-means
-       iterations, so the whole index is exactly recomputable; a production
-       build would optionally Lloyd-refine these seeds).
+       any engine reproduces from the ids alone (no RNG state), so the whole
+       index is exactly recomputable.  ``refine_iters`` optionally runs that
+       many distributed Lloyd (k-means) steps on the seeds — assign, then
+       per-cell mean vector via posexplode + component avg — which tightens
+       the cells at the cost of oracle-exactness (float means are
+       order-sensitive at ~1 ulp), so the oracle-checked entry uses
+       ``refine_iters=0`` and production recall tuning uses > 0.
     2. **Assignment**: every corpus vector joins the BROADCAST centroid set
        and keeps its nearest cell (quantized cosine, ties to the lowest
        centroid id) — one narrow pass, map-side ``max_by`` combine, tiny
@@ -241,7 +246,7 @@ def ivf_topk(
         )
     )
 
-    def cell_scores(side: DataFrame, sid: str, vcol: str) -> DataFrame:
+    def cell_scores(side: DataFrame, sid: str, vcol: str, cset: DataFrame) -> DataFrame:
         """(sid, centroid_id, csim) against the broadcast centroids;
         quantized cosine: rounding to 6 decimals before any argmax makes the
         cell choice engine-independent (engines disagree on a dot product by
@@ -249,26 +254,47 @@ def ivf_topk(
         sim = F.round(
             _dot(F.col(vcol), F.col("centv")) / (_norm(F.col(vcol)) * _norm(F.col("centv"))), 6
         )
-        return side.join(F.broadcast(cents), how="cross").select(
+        return side.join(F.broadcast(cset), how="cross").select(
             sid, F.col("centroid_id"), sim.alias("csim")
         )
 
-    # corpus assignment: argmax as a max_by AGGREGATE (not a window) — the
-    # partial combine collapses to one row per id map-side, so the only
-    # shuffled payload is (id, cell).  Ordering struct (csim, -centroid_id)
-    # == "highest sim, then lowest centroid id", the window tie-break below.
-    assign = (
-        cell_scores(c, "neighbor_id", "cv")
-        .groupBy("neighbor_id")
-        .agg(F.max_by(
-            "centroid_id", F.struct(F.col("csim"), (-F.col("centroid_id")).cast("long"))
-        ).alias("cell"))
-    )
+    def assign_cells(cset: DataFrame) -> DataFrame:
+        # corpus assignment: argmax as a max_by AGGREGATE (not a window) —
+        # the partial combine collapses to one row per id map-side, so the
+        # only shuffled payload is (id, cell).  Ordering struct
+        # (csim, -centroid_id) == "highest sim, then lowest centroid id",
+        # the window tie-break used for probing below.
+        return (
+            cell_scores(c, "neighbor_id", "cv", cset)
+            .groupBy("neighbor_id")
+            .agg(F.max_by(
+                "centroid_id", F.struct(F.col("csim"), (-F.col("centroid_id")).cast("long"))
+            ).alias("cell"))
+        )
+
+    for _ in range(refine_iters):
+        # one distributed Lloyd step: per-cell component means.  All narrow
+        # except the (cell, component) aggregate — rows are (cell, i, x),
+        # uniform by construction; empty cells simply drop out (FAISS does
+        # the same).
+        cents = register_cache(
+            assign_cells(cents)
+            .join(c, "neighbor_id")
+            .select("cell", F.posexplode("cv").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "m"))),
+                             lambda s: s["m"]).alias("centv"))
+            .select(F.col("cell").alias("centroid_id"), "centv")
+        )
+
+    assign = assign_cells(cents)
     # query probing needs top-n_probe cells, a genuine window — queries are
     # the small side by construction.
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (
-        cell_scores(q, query_id_col, "qv")
+        cell_scores(q, query_id_col, "qv", cents)
         .withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= n_probe)
         .select(query_id_col, F.col("centroid_id").alias("cell"))

@@ -189,6 +189,12 @@ def test_ivf_topk_finds_planted_neighbors(spark, emb):
             assert abs(bf[key] - r["sim"]) < 1e-9
     assert hits > 0
 
+    # Lloyd refinement (engine mode, not oracle-exact): the planted copy has
+    # cosine 1.0 with its query under ANY centroid set, so top-1 still holds
+    out_r = ivf_topk(corpus, q, k=1, n_centroids=8, n_probe=2, refine_iters=2)
+    top1_r = {r["query_id"]: r["neighbor_id"] for r in out_r.collect()}
+    assert top1_r == {i: i + 100000 for i in range(10)}
+
 
 def test_text_quality_and_stats(spark, docs):
     qf = quality_features(docs)
