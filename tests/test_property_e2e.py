@@ -75,7 +75,36 @@ def _batches(events, splits):
             if bounds[i] < bounds[i + 1]]
 
 
-@settings(max_examples=6, deadline=None,
+def test_empty_final_state_both_paths(spark, tmp_path_factory, monkeypatch):
+    """Pinned regression (round-2 falsifying example): a stream that deletes
+    every inserted key leaves an EMPTY final state; the frame-level compare
+    must still hold on both physical merge paths (dtype-stable empty oracle
+    frame, bifrost_spark/oracle.py)."""
+    payload = {"repo": "r", "path": "p", "commit": "c1", "lang": "py",
+               "content": "body", "extra": None}
+    tomb = {**payload, "commit": None, "lang": None, "content": None}
+    events = [
+        (2, 1, 2, "insert", "code", "repos", TS, None, None, None, payload, None, 0),
+        (4, 1, 4, "delete", "code", "repos", TS, None, None, tomb, None, None, 0),
+    ]
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+    expected = sequential_apply(df.toPandas())
+    assert expected.empty and str(expected["last_event_id"].dtype) == "int64"
+
+    for path_name, env in (("fused", "0"), ("bcast", str(1 << 40))):
+        monkeypatch.setenv("BIFROST_BROADCAST_MAX_BYTES", env)
+        if env != "0":
+            monkeypatch.setenv("BIFROST_BCAST_TGT_RATIO", "0")
+        base = tmp_path_factory.mktemp(f"empty_{path_name}")
+        table = TargetTable.create(spark, str(base / "tbl"), n_buckets=4)
+        ReplayEngine(table, ordered=True).apply_batch(df)
+        actual = table.to_pandas_sorted().reset_index(drop=True)
+        assert content_sha_map(actual) == content_sha_map(expected), path_name
+        assert expected.equals(actual[expected.columns.tolist()]), path_name
+        monkeypatch.delenv("BIFROST_BCAST_TGT_RATIO", raising=False)
+
+
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(event_streams())
 def test_random_event_streams_match_oracle(spark, tmp_path_factory, monkeypatch, data):
