@@ -983,6 +983,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_lsh_xx(spark, sf_dir):
+    """Production-mode MinHash+LSH: identical pipeline to
+    ``dedup_minhash_lsh`` but with the throughput-default xxhash64 shingle
+    hash (single JVM intrinsic) instead of the oracle-portable per-character
+    polynomial fold.  xxhash64 has no DuckDB equivalent, so this entry has
+    no oracle_sql — the poly-mode twin carries the full cross-engine check
+    of the same pipeline (same tokens→shingles→signatures→bands→verify
+    code path, only the leaf hash differs); pytest covers this mode
+    directly (tests/test_functions.py planted-dup + corpus cases)."""
+    from bifrost_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", hash_fn="xxhash64", seed=1
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup DEDUP: 48-bit fingerprints, 4-band hamming blocking
     (pigeonhole-exact for hamming <= 3), verified pairs."""
@@ -1397,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xx",
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",

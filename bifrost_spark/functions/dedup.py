@@ -27,6 +27,25 @@ from bifrost_spark.functions.cache import register_cache
 _MERSENNE = (1 << 31) - 1
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a compute-amplifying input up to one task per
+    core.  Shingling/fingerprinting expand every row into ~10^3 expression
+    evaluations, so the stage is compute-bound, not IO-bound — but a small
+    parquet input (one row group) collapses the scan to a single partition
+    and serializes the whole pipeline on one core.  The repartition shuffles
+    only the raw text (cheap, narrow) and buys full-width parallelism for
+    everything downstream; inputs already at/above core-width pass through
+    untouched, so at 100 TB (scan partitions >> cores) this is a no-op and
+    the cluster-scale knob remains spark.sql.files.maxPartitionBytes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def _tokens(text_col: Column) -> Column:
     return F.filter(F.split(F.lower(text_col), "[^\\p{L}\\p{N}]+"), lambda t: t != "")
 
@@ -98,6 +117,7 @@ def minhash_lsh_candidates(
     EQUALITY, which any hash preserves, so the oracle can band on the raw
     slice values instead."""
     rows_per_band = k // bands
+    docs = spread_for_compute(docs)
     sig = docs.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n_gram, hash_fn=hash_fn).alias("sh"),
@@ -164,6 +184,7 @@ def simhash_fingerprints(
     Bit-voting without Python: for each bit position, sum(+1/-1 over token
     hashes) via array transforms; bit set iff the vote is strictly positive.
     """
+    docs = spread_for_compute(docs)
     toks = F.array_distinct(_tokens_ascii(F.col(text_col)) if hash_fn == "poly" else _tokens(F.col(text_col)))
     if hash_fn == "poly":
         if n_bits > 63:
