@@ -625,15 +625,130 @@ def _ensure_mm_oracle() -> str:
     return _MM_ORACLE_PATH
 
 
-def q_mm_feature_extract(spark, sf_dir):
-    """Multimodal plumbing end-to-end: synthesize binary media columns,
-    Arrow-batched mapInPandas decode/feature-extract (stub kernel, real
-    schema/batch shape), scalar projections of the feature vector for the
-    hash compare.  Oracle = Spark-free numpy+hashlib recompute."""
-    from bifrost_spark.functions.multimodal import extract_features, synthesize_media
+_MM2_ORACLE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm2_expected_v1"
+)
 
-    _ensure_mm_oracle()
-    feats = extract_features(synthesize_media(spark, n=256, seed=42), feature_dim=8)
+
+def _ensure_mm2_oracle() -> str:
+    """Spark-free recompute of the REAL-decode multimodal entries.  The
+    synthesized payloads are closed-form functions of (media_id, seed), so
+    the oracle rebuilds the pixel/sample ARRAYS directly (never parsing the
+    container bytes) and derives features + byte sizes + digests from its
+    own inline netpbm/RIFF serialization — the engine only matches if its
+    header parse and raster/PCM decode reproduce the same arrays."""
+    feat_path = _MM2_ORACLE_PATH + "_features.parquet"
+    frame_path = _MM2_ORACLE_PATH + "_frames.parquet"
+    if not (os.path.exists(feat_path) and os.path.exists(frame_path)):
+        import hashlib
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        n, seed = 192, 7
+        feat_rows, frame_rows = [], []
+
+        def pnm_bytes(arr):
+            magic = b"P6" if arr.ndim == 3 else b"P5"
+            h, w = arr.shape[:2]
+            return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+        for mid in range(n):
+            m = mid + seed
+            if mid % 3 == 0:
+                w, h = 16 + m % 13, 12 + m % 11
+                y, x = np.mgrid[0:h, 0:w]
+                if (mid // 3) % 4 == 0:
+                    arr = ((x * 3 + y * 5 + m * 7) % 256).astype(np.uint8)
+                else:
+                    c = np.arange(3)[None, None, :]
+                    arr = ((x[..., None] * 3 + y[..., None] * 5 + m * 7 + c * 11) % 256).astype(np.uint8)
+                payload = pnm_bytes(arr)
+                gray = arr.astype(np.float64) if arr.ndim == 2 else arr.mean(axis=2)
+                hist = np.bincount((gray.ravel() / 16).astype(np.int64).clip(0, 15), minlength=16)
+                p = hist / gray.size
+                fs = [float(w), float(h), float(gray.mean()) / 255.0, float(gray.std()) / 255.0,
+                      float(np.abs(np.diff(gray, axis=1)).mean()) / 255.0,
+                      float(np.abs(np.diff(gray, axis=0)).mean()) / 255.0,
+                      float(-(p[p > 0] * np.log2(p[p > 0])).sum()), w / h]
+                kind = "image"
+            elif mid % 3 == 1:
+                rate, ns = 8000, 800 + (m % 800) * 2
+                t = np.arange(ns, dtype=np.float64)
+                f0 = 100.0 + m % 400
+                xw = 0.6 * np.sin(2 * np.pi * f0 * t / rate) + 0.25 * np.sin(2 * np.pi * 3 * f0 * t / rate)
+                s16 = np.round(xw * 20000).astype(np.int16)
+                payload = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + ns * 2, b"WAVE", b"fmt ", 16,
+                    1, 1, rate, rate * 2, 2, 16, b"data", ns * 2,
+                ) + s16.astype("<i2").tobytes()
+                xx = s16.astype(np.float64) / 32768.0
+                spec = np.abs(np.fft.rfft(xx))
+                energy = spec * spec
+                dom = int(np.argmax(spec[1:])) + 1
+                fs = [ns / rate, float(np.sqrt((xx * xx).mean())),
+                      float((xx[1:] * xx[:-1] < 0).mean()), float(np.abs(xx).max()),
+                      float(np.abs(xx).mean()), dom * rate / ns / 1000.0,
+                      float(energy[: energy.size // 2].sum() / energy.sum()), rate / 1000.0]
+                kind = "audio"
+            else:
+                nf, frame_ms = 2 + m % 6, 250
+                w, h = 8 + m % 8, 8 + m % 5
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [((x + 3 * y + 17 * k + m) % 256).astype(np.uint8) for k in range(nf)]
+                parts = [b"BIFV", struct.pack("<II", nf, frame_ms)]
+                for fr in frames:
+                    pb = pnm_bytes(fr)
+                    parts.append(struct.pack("<I", len(pb)))
+                    parts.append(pb)
+                payload = b"".join(parts)
+                stack = np.stack([f.astype(np.float64) for f in frames])
+                fs = [float(nf), float(w), float(h), float(stack.mean()) / 255.0,
+                      float(stack.std()) / 255.0, float(stack[0].mean()) / 255.0,
+                      float(stack[-1].mean()) / 255.0,
+                      float(np.abs(stack[1:] - stack[:-1]).mean()) / 255.0]
+                kind = "video"
+                for k, fr in enumerate(frames):
+                    frame_rows.append({
+                        "media_id": mid, "frame_idx": k, "frame_ts_ms": k * frame_ms,
+                        "frame_mean": round(float(fr.astype(np.float64).mean()), 6),
+                        "frame_digest": hashlib.sha256(fr.tobytes()).hexdigest(),
+                    })
+            f32 = [float(np.float32(v)) for v in fs]
+            acc = 0.0  # sequential, matching Spark's aggregate fold order
+            for v in f32:
+                acc += v
+            feat_rows.append({
+                "media_id": mid, "kind": kind, "n_bytes": len(payload),
+                "content_digest": hashlib.sha256(payload).hexdigest(),
+                "f0": round(f32[0], 6), "f1": round(f32[1], 6), "f2": round(f32[2], 6),
+                "f_sum": round(acc, 6),
+            })
+        os.makedirs(os.path.dirname(feat_path), exist_ok=True)
+        pd.DataFrame(feat_rows).astype({"media_id": "int64", "n_bytes": "int64"}).to_parquet(
+            feat_path + ".tmp", index=False)
+        os.replace(feat_path + ".tmp", feat_path)
+        pd.DataFrame(frame_rows).astype(
+            {"media_id": "int64", "frame_idx": "int64", "frame_ts_ms": "int64"}
+        ).to_parquet(frame_path + ".tmp", index=False)
+        os.replace(frame_path + ".tmp", frame_path)
+    return _MM2_ORACLE_PATH
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal end-to-end with REAL decode (round-2 gap closed): payloads
+    are genuine P5/P6 netpbm, RIFF/WAVE PCM, and BIFV frame-container bytes;
+    the Arrow-batched mapInPandas kernel header-parses each container,
+    rebuilds the pixel/sample matrix, and computes numpy features —
+    decode_stub=False, nothing digest-faked.  Oracle = Spark-free recompute
+    from the closed-form arrays with its own serializer (never the engine's
+    parser), so a decode bug cannot cancel out."""
+    from bifrost_spark.functions.multimodal import extract_features, synthesize_codec_media
+
+    _ensure_mm2_oracle()
+    feats = extract_features(synthesize_codec_media(spark, n=192, seed=7),
+                             feature_dim=8, decode_stub=False)
     fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
     return feats.select(
         "media_id",
@@ -641,7 +756,26 @@ def q_mm_feature_extract(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "content_digest",
         F.round(F.element_at(fd, 1), 6).alias("f0"),
+        F.round(F.element_at(fd, 2), 6).alias("f1"),
+        F.round(F.element_at(fd, 3), 6).alias("f2"),
         F.round(F.aggregate(fd, F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
+    )
+
+
+def q_mm_video_frames(spark, sf_dir):
+    """REAL per-frame video decode fan-out: demux the BIFV payloads inside
+    the Arrow batch into one row per frame with the decoded raster's mean
+    and digest — the working shape of an ffmpeg frame-sampling stage."""
+    from bifrost_spark.functions.multimodal import extract_frames, synthesize_codec_media
+
+    _ensure_mm2_oracle()
+    out = extract_frames(synthesize_codec_media(spark, n=192, seed=7))
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.round("frame_mean", 6).alias("frame_mean"),
+        "frame_digest",
     )
 
 
@@ -1428,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_string_roundtrip": q_s6_string_roundtrip,
         "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_video_frames": q_mm_video_frames,
         "m6_kafka_messages": q_m6_kafka_messages,
         "s7_mongo_oplog": q_s7_mongo_oplog,
         "f8_fanout": q_f8_fanout,
@@ -1677,12 +1812,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ensure_replay_oracle()}')
         """,
         "mm_feature_extract": f"""
-            SELECT media_id, kind, n_bytes, content_digest, f0, f_sum
-            FROM read_parquet('{_ensure_mm_oracle()}_features.parquet')
+            SELECT media_id, kind, n_bytes, content_digest, f0, f1, f2, f_sum
+            FROM read_parquet('{_ensure_mm2_oracle()}_features.parquet')
         """,
         "mm_frame_sample": f"""
             SELECT media_id, frame_idx, frame_ts_ms
             FROM read_parquet('{_ensure_mm_oracle()}_frames.parquet')
+        """,
+        "mm_video_frames": f"""
+            SELECT media_id, frame_idx, frame_ts_ms, frame_mean, frame_digest
+            FROM read_parquet('{_ensure_mm2_oracle()}_frames.parquet')
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
