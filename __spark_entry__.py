@@ -1104,6 +1104,104 @@ def q_cdc_replay_e2e(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_m9_dead_letter(spark, sf_dir):
+    """M9 in the hard signal: a poison middle batch is retried, quarantined
+    to the dead-letter store, the stream PROCEEDS past it, redelivery of the
+    poisoned range manifest-skips, and ``repair_dead_letter`` re-applies the
+    raw quarantined events through the normal per-key merge guard.  The
+    returned frame is the post-repair table state plus audit columns
+    asserting each stage happened (1 quarantine during, 0 after repair,
+    redelivery skipped) — the oracle recomputes the expected final state
+    with plain LWW SQL over the same derived stream, so a wrong quarantine,
+    a lost batch, or a repair that clobbers newer rows all hash-mismatch.
+    Ref: /root/reference/server/to_server_consume.go:228-289 (retry then
+    skip-with-error-on-record), plugin/mysql/src/mysql.go:610-613."""
+    import shutil
+    import tempfile
+
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import ReplayEngine
+    from bifrost_spark.schemas import EVENT_SCHEMA
+
+    row_t = EVENT_SCHEMA["after"].dataType
+    base = _ev(spark, sf_dir).select(
+        (F.col("event_id") * 2 + 2).alias("event_id"),
+        F.lit(1).alias("file_num"),
+        (F.col("event_id") * 8).alias("pos"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("event_type"),
+        F.lit("code").alias("schema_name"),
+        F.lit("repos").alias("table_name"),
+        F.col("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.array(F.lit("repo"), F.lit("path")).alias("pri"),
+        F.when(
+            F.col("event_type") == "error",
+            F.struct(
+                F.concat(F.lit("r"), F.col("user_id") % 20).alias("repo"),
+                F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+                F.lit(None).cast("string").alias("commit"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("content"),
+                F.lit(None).cast("map<string,string>").alias("extra"),
+            ),
+        ).cast(row_t).alias("before"),
+        F.when(
+            F.col("event_type") != "error",
+            F.struct(
+                F.concat(F.lit("r"), F.col("user_id") % 20).alias("repo"),
+                F.concat(F.lit("p"), F.col("user_id")).alias("path"),
+                F.col("event_type").alias("commit"),
+                F.lit(None).cast("string").alias("lang"),
+                F.col("props").alias("content"),
+                F.lit(None).cast("map<string,string>").alias("extra"),
+            ),
+        ).cast(row_t).alias("after"),
+        F.lit(None).cast("string").alias("query"),
+        F.lit(0).alias("schema_version"),
+    )
+
+    class _Poison:
+        def __init__(self, real):
+            self.real = real
+
+        def __call__(self, *a, **kw):
+            raise RuntimeError("injected poison-batch sink failure")
+
+    work = tempfile.mkdtemp(prefix="bifrost_m9_")
+    try:
+        table = TargetTable.create(spark, os.path.join(work, "tbl"), n_buckets=8)
+        engine = ReplayEngine(table, ordered=True, on_error="dead_letter", max_retries=1)
+        b1 = base.filter(F.col("event_id") < 8000)
+        b2 = base.filter((F.col("event_id") >= 8000) & (F.col("event_id") < 14000))
+        b3 = base.filter(F.col("event_id") >= 14000)
+        engine.apply_batch(b1)
+        real_apply = table.apply_ops
+        table.apply_ops = _Poison(real_apply)
+        res2 = engine.apply_batch(b2)
+        table.apply_ops = real_apply
+        assert res2 and res2[0].get("dead_lettered"), res2
+        engine.apply_batch(b3)
+        dl_during = len(table.dead_letters())
+        redelivery = engine.apply_batch(b2)
+        redelivery_skipped = int(
+            not redelivery or bool(redelivery[0].get("skipped")) or redelivery[0].get("n_ops") == 0
+        )
+        table.repair_dead_letter(res2[0]["batch_id"])
+        dl_after = len(table.dead_letters())
+        out = table.read().drop("bucket").select(
+            "repo", "path", "commit", "content", "last_event_id",
+            F.lit(dl_during).alias("dl_during"),
+            F.lit(dl_after).alias("dl_after"),
+            F.lit(redelivery_skipped).alias("redelivery_skipped"),
+        )
+        out = out.persist()
+        out.count()  # materialize before the workdir is removed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates (scale path for Jaccard):
     shingle → k minhashes → band buckets → candidate pairs within buckets.
@@ -1546,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
+        "m9_dead_letter": q_m9_dead_letter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
@@ -1810,6 +1909,27 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_e2e": f"""
             SELECT repo, path, commit, lang, content_sha, last_event_id
             FROM read_parquet('{_ensure_replay_oracle()}')
+        """,
+        # expected post-repair state = plain LWW over the derived stream;
+        # audit literals assert quarantine happened (1), was retired by the
+        # repair (0), and the poisoned range manifest-skipped on redelivery.
+        "m9_dead_letter": """
+            WITH ops AS (
+              SELECT event_id * 2 + 2 AS eid,
+                     'r' || CAST(user_id % 20 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     event_type, props
+              FROM events
+            ), last AS (
+              SELECT repo, path,
+                     arg_max(event_type, eid) AS last_type,
+                     arg_max(props, eid) AS content,
+                     max(eid) AS last_event_id
+              FROM ops GROUP BY repo, path
+            )
+            SELECT repo, path, last_type AS commit, content, last_event_id,
+                   1 AS dl_during, 0 AS dl_after, 1 AS redelivery_skipped
+            FROM last WHERE last_type <> 'error'
         """,
         "mm_feature_extract": f"""
             SELECT media_id, kind, n_bytes, content_digest, f0, f1, f2, f_sum
