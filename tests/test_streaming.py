@@ -106,3 +106,69 @@ def test_stream_metrics_recorded(spark, tmp_path):
     assert len(batch_ids) == len(set(batch_ids)) >= 2
     assert all(e["duration_ms"].get("triggerExecution", 0) >= 0 for e in entries)
     assert all(e["query"].startswith("bifrost_cdc_") for e in entries)
+
+
+def test_canal_kafka_stream_into_engine(spark, tmp_path):
+    """Round-2 gap #3 closed: a LIVE S6 path — Kafka-connector-shaped
+    micro-batches (topic/partition/offset/key/value/timestamp) carrying
+    canal JSON, decoded by decode_canal_json inside a readStream →
+    foreachBatch → ReplayEngine pipeline into TargetTable.  Only the source
+    line differs from a broker deployment (file stream standing in for
+    format("kafka") — the connector jar is absent here); decoder, envelope,
+    merge, and manifests are the production path.  Final state must equal
+    the sequential-apply oracle of the ORIGINAL events, proving the
+    encode→wire→decode→merge loop is lossless under arbitrary file order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from bifrost_spark.pipelines.replay import ReplayEngine
+    from bifrost_spark.sinks.messages import encode_canal_json
+    from bifrost_spark.sources.kafka_formats import decode_canal_json
+
+    cfg = GeneratorConfig(n_events=3000, n_keys=300, n_repos=20, seed=13, snapshot_keys=0)
+    events = generate_events(spark, cfg)
+    expected = sequential_apply(events.toPandas())
+
+    # broker-shaped frame: offset carries the binlog order (what a real
+    # canal deployment guarantees per partition)
+    kafka = events.select(
+        F.lit("canal_code_repos").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("string").alias("key"),
+        encode_canal_json(events).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    wire_dir = str(tmp_path / "wire")
+    kafka.repartitionByRange(4, "offset").write.parquet(wire_dir)
+
+    kafka_schema = T.StructType([
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(kafka_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wire_dir)
+    )
+    decoded = decode_canal_json(stream)
+
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=8)
+    engine = ReplayEngine(table, ordered=False)  # file order is arbitrary
+
+    q = (
+        decoded.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, _eid: engine.apply_batch(df))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    table = TargetTable(spark, table.path)
+    actual = table.to_pandas_sorted().reset_index(drop=True)
+    assert content_sha_map(actual) == content_sha_map(expected)
+    assert expected.equals(actual[expected.columns.tolist()])
