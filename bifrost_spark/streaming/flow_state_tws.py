@@ -112,7 +112,20 @@ def start_flow_counter_stream_tws(
     max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Tail the chunked event log with the transformWithState processor and
-    append per-trigger running totals to ``out_path`` (parquet)."""
+    append per-trigger running totals to ``out_path`` (parquet).
+
+    EXPERIMENTAL in this environment: fails fast (ImportError) when
+    ``protobuf`` is absent rather than deep inside Spark's Python state
+    server; ``flow_state.start_flow_counter_stream`` is the verified
+    equivalent with identical inputs and OUTPUT_SCHEMA."""
+    try:
+        import google.protobuf  # noqa: F401 — the tws state-server protocol dep
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package, which is "
+            "not installed here; use streaming.flow_state.start_flow_counter_stream "
+            "(applyInPandasWithState) — same inputs, same OUTPUT_SCHEMA"
+        ) from e
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
     stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])
     events = (

@@ -101,3 +101,22 @@ def test_tws_totals_match_batch_agg_and_old_api(spark, tmp_path):
     assert last["total_events"] == sum(bc.values())
     totals = [r["total_events"] for r in got.orderBy("epoch").collect()]
     assert totals == sorted(totals)
+
+
+def test_tws_fence_fails_fast_without_protobuf(spark, tmp_path):
+    """The experimental tws entry point must raise a clear ImportError at
+    the call site when protobuf is missing — not deep inside Spark's state
+    server mid-query."""
+    import pytest as _pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        _pytest.skip("protobuf installed — fence not applicable")
+    except ImportError:
+        pass
+    from bifrost_spark.streaming.flow_state_tws import start_flow_counter_stream_tws
+
+    with _pytest.raises(ImportError, match="protobuf"):
+        start_flow_counter_stream_tws(spark, str(tmp_path / "log"), str(tmp_path / "out"),
+                                      str(tmp_path / "ckpt"))
