@@ -1575,9 +1575,9 @@ def _ann_ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> 
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
         ), cents AS (
-          SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 12345) % {M}, vec_id)
+          SELECT row_number() OVER (ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id)
                    AS centroid_id, v AS centv
-          FROM e ORDER BY (vec_id * 2654435761 + 12345) % {M}, vec_id LIMIT {n_centroids}
+          FROM e ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id LIMIT {n_centroids}
         ), scores AS (
           SELECT e.vec_id, c.centroid_id,
                  round(list_dot_product(e.v, c.centv)

@@ -233,9 +233,15 @@ def ivf_topk(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     )
 
-    ckey = F.pmod(F.col("neighbor_id") * F.lit(2654435761) + F.lit(12345), F.lit(M))
-    # n_centroids rows total — the single-partition sort/window is bounded
-    # index metadata (like the driver-side DDL list), not a data path.
+    # pre-mod the id: both factors stay < 2^31.3, so the product tops out at
+    # ~5.3e18 < int64 max for ANY id range — without it, vec_id ≈ 3.5e9
+    # overflows (Spark silently wraps, DuckDB raises, and engine vs oracle
+    # diverge).  For ids < M the pre-mod is the identity, so results are
+    # unchanged at every current scale.
+    ckey = F.pmod(F.pmod(F.col("neighbor_id"), F.lit(M)) * F.lit(2654435761) + F.lit(12345), F.lit(M))
+    # the orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-n_centroids with a bounded driver merge (n_centroids × partitions
+    # rows), never a full corpus exchange — audited in PLANS.md.
     cents = register_cache(
         c.withColumn("ckey", ckey)
         .orderBy("ckey", "neighbor_id")

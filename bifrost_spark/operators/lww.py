@@ -40,7 +40,15 @@ def lww_key_expr():
     """The LWW identity of a raw EVENT row (after-image PK; before-image
     for deletes) as one string column — built from PK_COLUMNS so key
     definition has a single source of truth.  Used for the distinct-key
-    estimates that drive the fused merge's hot-key cost decision."""
+    estimates that drive the fused merge's hot-key cost decision.
+
+    Known bias, fine for a cost heuristic: a PK-changing update expands to
+    TWO ops on two distinct keys downstream but counts one key here, and
+    concat_ws skips NULL components, so distinct keys are slightly
+    UNDERestimated — the ops/keys ratio reads high and pre-LWW arms a bit
+    more eagerly than the true ratio warrants.  That errs toward the safe
+    side (an extra map-side combine) and only matters if
+    BIFROST_FUSED_PRELWW_RATIO is ever tightened toward 1."""
     return F.concat_ws(
         "\x01",
         *[F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")) for c in PK_COLUMNS],

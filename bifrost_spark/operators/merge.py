@@ -592,11 +592,26 @@ class TargetTable:
         """
         if self.is_applied(batch_id, batch_range, range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
-        # The cost choice needs a batch size.  Callers on the hot path (the
-        # replay engine, the streaming job) pass the count they already have;
-        # an external caller without one gets a cheap count job here rather
-        # than being silently routed to the fused FULL-TABLE rewrite.
-        n_ops = n_ops_hint if n_ops_hint is not None else ops.count()
+        # The cost choice needs a batch size AND a distinct-key estimate.
+        # Callers on the hot path (the replay engine, the streaming job)
+        # pass both from the stats they already have; an external caller
+        # without hints gets ONE agg job here (count + approx distinct
+        # keys, same scan) rather than being silently routed to the fused
+        # FULL-TABLE rewrite with the hot-key pre-LWW guard disarmed.
+        if n_ops_hint is not None:
+            n_ops = n_ops_hint
+        else:
+            from bifrost_spark.schemas import PK_COLUMNS
+
+            r = ops.agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct(
+                    F.concat_ws("\x01", *[F.col(c) for c in PK_COLUMNS])
+                ).alias("k"),
+            ).collect()[0]
+            n_ops = r["n"]
+            if n_keys_hint is None:
+                n_keys_hint = r["k"]
         tgt_bytes = self._bucket_bytes([int(b) for b in self.state["buckets"]])
         src_bytes_est = n_ops * int(os.environ.get("BIFROST_AVG_OP_BYTES", "512"))
         bcast_max_bytes = int(os.environ.get("BIFROST_BROADCAST_MAX_BYTES", str(128 * 1024 * 1024)))

@@ -54,14 +54,19 @@ def start_cdc_stream(
         import uuid
 
         query_name = f"bifrost_cdc_{uuid.uuid4().hex[:8]}"
+    listener = None
     if metrics:
         # throughput metrics per micro-batch → _state/stream_metrics.jsonl
         # (the reference's flow-monitor counters, streaming/metrics.py);
         # registered BEFORE start so the first batch is captured, and
         # self-deregistering on query termination (no listener leak).
+        # Caller-supplied query_names reused across quick restarts can
+        # briefly overlap two live listeners (the old onQueryTerminated is
+        # async) — the default uuid name avoids that entirely.
         from bifrost_spark.streaming.metrics import StreamMetricsListener
 
-        spark.streams.addListener(StreamMetricsListener(spark, table, query_name))
+        listener = StreamMetricsListener(spark, table, query_name)
+        spark.streams.addListener(listener)
     # NB: StructType.add mutates in place — build a copy, never touch the
     # shared EVENT_SCHEMA.
     stream_schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.StringType())])
@@ -83,4 +88,11 @@ def start_cdc_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        return writer.start()
+    except Exception:
+        # start() failed → onQueryTerminated will never fire for this
+        # listener; deregister here or it leaks on the session for good.
+        if listener is not None:
+            spark.streams.removeListener(listener)
+        raise

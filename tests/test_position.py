@@ -109,6 +109,8 @@ def test_index_carries_distinct_key_estimate(spark, tmp_path):
     assert index
     for chunk, entry in index.items():
         for seg in entry["segments"]:
-            # approx_count_distinct error is ~5%; the bound here only needs
-            # sanity: positive and no larger than the segment's event count
-            assert 1 <= seg["keys_est"] <= int(seg["n_data"] * 1.1), (chunk, seg)
+            # approx_count_distinct default rsd is 5% with NO hard bound —
+            # the bound here only needs sanity (positive, same order as the
+            # segment's event count), so leave generous headroom rather
+            # than flake on a distinct-heavy segment
+            assert 1 <= seg["keys_est"] <= int(seg["n_data"] * 1.3), (chunk, seg)

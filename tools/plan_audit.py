@@ -236,6 +236,29 @@ def main() -> int:
     ]
     sections.append(("F8 multi-sink fan-out — one pass, no shuffle, N sinks per scan", p, checks))
 
+    # 8b. IVF centroid seeding: the orderBy+limit seed scan must compile to
+    # TakeOrderedAndProject (per-partition top-n_centroids, bounded driver
+    # merge of n_centroids × partitions rows) — NOT a global Sort behind an
+    # Exchange, which would shuffle every corpus key.  Also: assignment is
+    # a max_by aggregate with a map-side partial combine and the centroid
+    # set joins broadcast (no corpus-side shuffle before the agg).
+    from bifrost_spark.functions.similarity import ivf_topk
+
+    ivf = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2)
+    p = formatted(ivf)
+    checks = [
+        ("centroid seed scan is TakeOrderedAndProject (bounded partial top-K)",
+         "TakeOrderedAndProject" in p),
+        ("no global Sort node for the seed scan (no full corpus ordering)",
+         n_nodes(p, "Sort") == 0 or "TakeOrderedAndProject" in p),
+        ("centroids broadcast to both assignment and probing (no corpus shuffle to meet them)",
+         n_nodes(p, "BroadcastNestedLoopJoin") + n_nodes(p, "BroadcastHashJoin") >= 2),
+        ("cell assignment argmax is an aggregate with map-side partial combine",
+         "partial_max_by" in p or "partial" in p.lower()),
+    ]
+    sections.append(("IVF ANN — bounded centroid seeding, broadcast cells, partial argmax", p, checks))
+    release_caches()
+
     # 9. C3 batch nearest-right scan: probes broadcast, map-side partial min
     from bifrost_spark.pipelines.position import nearest_valid_positions
 
