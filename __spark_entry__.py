@@ -1104,27 +1104,15 @@ def q_cdc_replay_e2e(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def q_m9_dead_letter(spark, sf_dir):
-    """M9 in the hard signal: a poison middle batch is retried, quarantined
-    to the dead-letter store, the stream PROCEEDS past it, redelivery of the
-    poisoned range manifest-skips, and ``repair_dead_letter`` re-applies the
-    raw quarantined events through the normal per-key merge guard.  The
-    returned frame is the post-repair table state plus audit columns
-    asserting each stage happened (1 quarantine during, 0 after repair,
-    redelivery skipped) — the oracle recomputes the expected final state
-    with plain LWW SQL over the same derived stream, so a wrong quarantine,
-    a lost batch, or a repair that clobbers newer rows all hash-mismatch.
-    Ref: /root/reference/server/to_server_consume.go:228-289 (retry then
-    skip-with-error-on-record), plugin/mysql/src/mysql.go:610-613."""
-    import shutil
-    import tempfile
-
-    from bifrost_spark.operators.merge import TargetTable
-    from bifrost_spark.pipelines.replay import ReplayEngine
+def _derived_cdc_events(spark, sf_dir):
+    """Deterministic EVENT_SCHEMA stream derived from the events table
+    (user_id → (repo, path) key, 'error' → delete, anything else → update)
+    — SQL-recomputable, so entries that drive the real engine over it can
+    carry full DuckDB oracles."""
     from bifrost_spark.schemas import EVENT_SCHEMA
 
     row_t = EVENT_SCHEMA["after"].dataType
-    base = _ev(spark, sf_dir).select(
+    return _ev(spark, sf_dir).select(
         (F.col("event_id") * 2 + 2).alias("event_id"),
         F.lit(1).alias("file_num"),
         (F.col("event_id") * 8).alias("pos"),
@@ -1160,6 +1148,46 @@ def q_m9_dead_letter(spark, sf_dir):
         F.lit(None).cast("string").alias("query"),
         F.lit(0).alias("schema_version"),
     )
+
+
+def q_m5_redis_kv(spark, sf_dir):
+    """M5 beyond Kafka: the Redis-contract point-op emitter — one
+    SET/DEL command row per change event, key and value from the F14
+    template DSL (the reference's KeyConfig/ValConfig through
+    TransfeResult).  DEL keys template from the before image exactly like
+    getKeyVal over a delete's only row.  The oracle recomputes every
+    command string in SQL.
+    Ref: /root/reference/plugin/redis/src/redis.go:186-295."""
+    from bifrost_spark.sinks.keyvalue import kv_commands
+
+    return kv_commands(
+        _derived_cdc_events(spark, sf_dir),
+        key_template="{$SchemaName}:{$TableName}:{$repo}:{$path}",
+        val_template="{$commit}|{$content}",
+        kv_type="set",
+        expire_s=3600,
+    )
+
+
+def q_m9_dead_letter(spark, sf_dir):
+    """M9 in the hard signal: a poison middle batch is retried, quarantined
+    to the dead-letter store, the stream PROCEEDS past it, redelivery of the
+    poisoned range manifest-skips, and ``repair_dead_letter`` re-applies the
+    raw quarantined events through the normal per-key merge guard.  The
+    returned frame is the post-repair table state plus audit columns
+    asserting each stage happened (1 quarantine during, 0 after repair,
+    redelivery skipped) — the oracle recomputes the expected final state
+    with plain LWW SQL over the same derived stream, so a wrong quarantine,
+    a lost batch, or a repair that clobbers newer rows all hash-mismatch.
+    Ref: /root/reference/server/to_server_consume.go:228-289 (retry then
+    skip-with-error-on-record), plugin/mysql/src/mysql.go:610-613."""
+    import shutil
+    import tempfile
+
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import ReplayEngine
+
+    base = _derived_cdc_events(spark, sf_dir)
 
     class _Poison:
         def __init__(self, real):
@@ -1645,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "m9_dead_letter": q_m9_dead_letter,
+        "m5_redis_kv": q_m5_redis_kv,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
@@ -1909,6 +1938,18 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_e2e": f"""
             SELECT repo, path, commit, lang, content_sha, last_event_id
             FROM read_parquet('{_ensure_replay_oracle()}')
+        """,
+        # every SET/DEL command string recomputed in SQL: key template over
+        # the operative image (before for deletes), value only on SET.
+        "m5_redis_kv": """
+            SELECT CASE WHEN event_type = 'error' THEN 'DEL' ELSE 'SET' END AS cmd,
+                   'code:repos:r' || CAST(user_id % 20 AS VARCHAR)
+                     || ':p' || CAST(user_id AS VARCHAR) AS key,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE event_type || '|' || COALESCE(props, '') END AS value,
+                   3600 AS expire_s,
+                   event_id * 2 + 2 AS event_id
+            FROM events
         """,
         # expected post-repair state = plain LWW over the derived stream;
         # audit literals assert quarantine happened (1), was retired by the
