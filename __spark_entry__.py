@@ -1664,7 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q_broadcast_dim_join": q_broadcast_dim_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "demo_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_topk_cosine": q_sim_topk_cosine,
         "emb_norm_stats": q_emb_norm_stats,
         "text_token_stats": q_text_token_stats,
@@ -1830,7 +1830,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "dedup_jaccard_pairs": """
+        "demo_jaccard_pairs": """
             WITH t AS (
                 SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
                 FROM documents
