@@ -175,6 +175,13 @@ def main() -> None:
         f"{lo}->{hi}": round(hw[hi]["memcpy_gbps"] / ((hi / lo) * hw[lo]["memcpy_gbps"]), 2)
         for lo, hi in zip(levels, levels[1:])
     }
+    # pure-compute control: sha256 has no memory-bus pressure, so its pair
+    # efficiency shows how much of the memcpy ceiling is the shared bus
+    # (sha256 ≈ 1.0 where memcpy sags) vs the hypervisor (both sag).
+    sha_pairs = {
+        f"{lo}->{hi}": round(hw[hi]["sha256_mps"] / ((hi / lo) * hw[lo]["sha256_mps"]), 2)
+        for lo, hi in zip(levels, levels[1:])
+    }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
@@ -185,7 +192,8 @@ def main() -> None:
     )
     pair_rows = "\n".join(
         f"| {p['lo']} → {p['hi']} cores ({p['factor']:.0f}×) | **{p['efficiency']:.3f}** "
-        f"| {hw_pairs[str(p['lo']) + '->' + str(p['hi'])]:.2f} |"
+        f"| {hw_pairs[str(p['lo']) + '->' + str(p['hi'])]:.2f} "
+        f"| {sha_pairs[str(p['lo']) + '->' + str(p['hi'])]:.2f} |"
         for p in pairs
     )
     hw_rows = "\n".join(
@@ -212,9 +220,15 @@ memory; shuffle + work dirs on tmpfs (the stand-in for per-executor NVMe).
 
 ## Scaling efficiency (throughput_4N / (4 × throughput_N), target ≥ 0.8)
 
-| pair | engine efficiency | hw memcpy efficiency (same workers) |
-|---|---|---|
+| pair | engine efficiency | hw memcpy control | hw sha256 control |
+|---|---|---|---|
 {pair_rows}
+
+The two hardware controls at the SAME worker counts bracket what this VM
+physically allows: memcpy is the memory-bus ceiling (a CDC replay is row
+movement, so it binds the engine), sha256 is the pure-compute ceiling (no
+bus pressure — where it stays near 1.0 while memcpy sags, the sag is the
+shared bus, not the hypervisor).
 
 **The 2 → 8 pair is the honest cluster stand-in:
 {f"{eff28:.3f}, {'MEETING' if eff28 >= 0.8 else 'vs'} the >= 0.8 target" if eff28 else "n/a"}
@@ -250,7 +264,7 @@ Raw: {" / ".join(f"`{json.dumps(results[c])}`" for c in levels)}
         f.write(md)
     print(json.dumps({"levels": {str(c): results[c] for c in levels},
                       "pairs": pairs, "hw": {str(k): v for k, v in hw.items()},
-                      "hw_pairs": hw_pairs}))
+                      "hw_pairs": hw_pairs, "sha_pairs": sha_pairs}))
 
 
 if __name__ == "__main__":
