@@ -1010,9 +1010,13 @@ def q_f8_fanout(spark, sf_dir):
     oracle recomputes each sink's membership as a UNION ALL, so wrong
     routing, wrong replication factor, or a broken stale guard all
     mismatch.  Ref: /root/reference/server/channel_consume.go:265-317."""
+    from bifrost_spark.functions.spread import spread_for_compute
     from bifrost_spark.sinks.fanout import SinkSpec, fanout
 
-    events = _canonical_events(spark, sf_dir).withColumn(
+    # fanout itself is a narrow no-shuffle projection (plan-audited); the
+    # ×3-sink JSON encodes are compute-bound, so spread the unsplittable
+    # single-row-group scan to core width at the ENTRY level.
+    events = spread_for_compute(_canonical_events(spark, sf_dir)).withColumn(
         "table_name",
         F.concat(F.lit("events_"), F.pmod(F.col("event_id"), F.lit(3)).cast("string")),
     )

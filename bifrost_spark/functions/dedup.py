@@ -21,29 +21,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bifrost_spark.functions.cache import register_cache
+from bifrost_spark.functions.spread import spread_for_compute  # noqa: F401 — shared guard, re-exported
 
 # Mersenne-prime universal hashing for minhash permutations.  2^31-1 keeps
 # a*x+b within int64 under ANSI arithmetic (a,x < 2^31 → product < 2^62).
 _MERSENNE = (1 << 31) - 1
-
-
-def spread_for_compute(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a compute-amplifying input up to one task per
-    core.  Shingling/fingerprinting expand every row into ~10^3 expression
-    evaluations, so the stage is compute-bound, not IO-bound — but a small
-    parquet input (one row group) collapses the scan to a single partition
-    and serializes the whole pipeline on one core.  The repartition shuffles
-    only the raw text (cheap, narrow) and buys full-width parallelism for
-    everything downstream; inputs already at/above core-width pass through
-    untouched, so at 100 TB (scan partitions >> cores) this is a no-op and
-    the cluster-scale knob remains spark.sql.files.maxPartitionBytes."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    return df.repartition(target) if n < target else df
 
 
 def _tokens(text_col: Column) -> Column:

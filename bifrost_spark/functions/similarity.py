@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bifrost_spark.functions.cache import register_cache
+from bifrost_spark.functions.spread import spread_for_compute
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -61,7 +62,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    # per-row dot products over every (query, corpus) pair are compute-bound
+    # — spread an unsplittable small scan to core width first
+    c = spread_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     pairs = F.broadcast(q).join(c, F.col(query_id_col) != F.col("neighbor_id")).select(
@@ -159,7 +163,8 @@ def embedding_near_dup_pairs(
     are late-materialized for candidate pairs only."""
     planes = hyperplanes(dim, n_planes, n_tables, seed)
     sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
-    c = register_cache(corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")))
+    c = register_cache(spread_for_compute(corpus).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")))
     b = c.select("id", F.posexplode(sig_fn(F.col("v"), planes)).alias("tbl", "sig"))
     pairs = (
         b.alias("a").join(
@@ -227,7 +232,8 @@ def ivf_topk(
     # projections like the LSH path does (callers release via
     # functions.cache.release_caches).
     c = register_cache(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+        spread_for_compute(corpus).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     )
     q = register_cache(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
@@ -338,7 +344,8 @@ def lsh_bucketed_topk(
     produce identical signatures (quantized-projection bits)."""
     planes = hyperplanes(dim, n_planes, n_tables, seed)
     sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
-    c = register_cache(corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")))
+    c = register_cache(spread_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")))
     q = register_cache(queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")))
     # Late materialization: the ×n_tables bucket join and the pair-dedup see
     # only (id, tbl, sig) — never the embedding arrays (which a dedup would
