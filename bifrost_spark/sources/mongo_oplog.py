@@ -117,3 +117,32 @@ def _decode(j: DataFrame) -> DataFrame:
         query.alias("query"),
         F.lit(0).alias("schema_version"),
     )
+
+
+def keyed_by_id(events: DataFrame) -> DataFrame:
+    """Adapter for sinks keyed on the universal ``(repo, path)`` PK.
+
+    Mongo's primary key is ``_id`` (``Pri=["_id"]`` in the reference —
+    input.go:66), and a delete's doc carries ONLY ``_id``, so the typed
+    payload PK columns are null exactly when the sink needs them.  The
+    reference's sinks key directly off Pri; for the keyed TargetTable the
+    equivalent configuration is this projection: ``repo`` := the collection
+    (table_name), ``path`` := the document ``_id`` (from the extra map),
+    applied to both images.  Pure column rewrite — no shuffle, no Python —
+    so it composes with the decoder in the same narrow stage."""
+
+    def rekey(img: str) -> Column:
+        i = F.col(img)
+        return F.when(
+            i.isNotNull(),
+            F.struct(
+                F.col("table_name").alias("repo"),
+                i["extra"]["_id"].alias("path"),
+                i["commit"].alias("commit"),
+                i["lang"].alias("lang"),
+                i["content"].alias("content"),
+                i["extra"].alias("extra"),
+            ),
+        )
+
+    return events.withColumn("before", rekey("before")).withColumn("after", rekey("after"))

@@ -86,3 +86,42 @@ def test_payload_keys_split_from_extra(spark):
     assert (after["repo"], after["path"], after["commit"], after["lang"], after["content"]) == \
         ("r", "p", "c0", "go", "body")
     assert after["extra"] == {"_id": "k", "stars": "42"}
+
+
+def test_oplog_stream_through_engine(spark, tmp_path):
+    """S7 e2e: a full i/u/d oplog tail — decoded, re-keyed by _id
+    (keyed_by_id: repo=collection, path=_id, the reference's Pri contract)
+    — replayed through ReplayEngine into TargetTable; final state must
+    frame-equal the sequential-apply oracle of the decoded events.  Covers
+    the delete-carries-only-_id quirk end to end: without the adapter the
+    delete's PK columns are null and the row could never be removed."""
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.oracle import content_sha_map, sequential_apply
+    from bifrost_spark.pipelines.replay import ReplayEngine
+    from bifrost_spark.sources.mongo_oplog import keyed_by_id
+
+    entries = []
+    t = 1000
+    for k in range(60):  # inserts
+        entries.append({"ts": {"t": t, "i": k}, "op": "i", "ns": "app.repos",
+                        "doc": {"_id": f"id{k}", "repo": "ignored", "path": "ignored",
+                                "commit": f"c{k}", "content": f"v{k}"}})
+    for k in range(0, 60, 2):  # update every other doc (before == after)
+        entries.append({"ts": {"t": t + 1, "i": k}, "op": "u", "ns": "app.repos",
+                        "doc": {"_id": f"id{k}", "repo": "ignored", "path": "ignored",
+                                "commit": f"c{k}bis", "content": f"w{k}"}})
+    for k in range(0, 60, 3):  # delete every third — doc carries ONLY _id
+        entries.append({"ts": {"t": t + 2, "i": k}, "op": "d", "ns": "app.repos",
+                        "doc": {"_id": f"id{k}"}})
+
+    events = keyed_by_id(decode_mongo_oplog(_oplog(spark, entries)))
+    expected = sequential_apply(events.toPandas())
+    assert len(expected) == 40  # 60 - 20 deleted
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ReplayEngine(table, ordered=True).apply_batch(events)
+    actual = table.to_pandas_sorted().reset_index(drop=True)
+    assert content_sha_map(actual) == content_sha_map(expected)
+    assert expected.equals(actual[expected.columns.tolist()])
+    # updated docs carry the update's content; _id keying is the row identity
+    row = actual[actual["path"] == "id2"].iloc[0]
+    assert row["content"] == "w2" and row["repo"] == "repos"
