@@ -1274,6 +1274,29 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate/top n-gram
+    fractions) — row-local sort+fold array math, no shuffle/UDF; the oracle
+    recomputes every ratio via unnest+group SQL."""
+    from bifrost_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 5-token
+    window with the (derived) benchmark set — the GPT-3-style n-gram
+    collision scrub.  Benchmark side broadcasts; corpus never shuffles
+    before the per-doc aggregate.  String-compare mode here so DuckDB
+    recomputes the identical overlap; production uses hash_fn='xxhash64'
+    (same counts, 8-byte probes)."""
+    from bifrost_spark.functions.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5, hash_fn="none")
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Reproducible ~1/4 sample: keep rows whose salted-sha256 prefix sorts
     below '4000'.  Pure pushed-down scan filter (no shuffle); nested — a
@@ -1681,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1990,6 +2015,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "text_repetition": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bgs
+              FROM tk
+            ), tok_stats AS (
+              SELECT doc_id, max(c) AS top_tok, count(*) AS distinct_tok
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2)
+              GROUP BY 1
+            ), big_stats AS (
+              SELECT doc_id, max(c) AS top_big, count(*) AS distinct_big
+              FROM (SELECT doc_id, bg, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   b.n AS n_tokens,
+                   round(CASE WHEN b.n > 0 THEN CAST(t.distinct_tok AS DOUBLE) / b.n ELSE 0 END, 6) AS distinct_token_ratio,
+                   round(CASE WHEN b.n > 0 THEN CAST(t.top_tok AS DOUBLE) / b.n ELSE 0 END, 6) AS top_token_fraction,
+                   round(CASE WHEN len(b.bgs) > 0 THEN CAST(len(b.bgs) - g.distinct_big AS DOUBLE) / len(b.bgs) ELSE 0 END, 6) AS dup_bigram_fraction,
+                   round(CASE WHEN len(b.bgs) > 0 THEN CAST(g.top_big AS DOUBLE) / len(b.bgs) ELSE 0 END, 6) AS top_bigram_fraction
+            FROM base b
+            LEFT JOIN tok_stats t USING (doc_id)
+            LEFT JOIN big_stats g USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), win AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 5
+                       THEN list_transform(generate_series(1, len(toks) - 4),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+                       ELSE CAST([] AS VARCHAR[]) END) AS ws
+              FROM tk
+            ), bench AS (
+              SELECT DISTINCT unnest(ws) AS g FROM win WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT e.doc_id, count(b.g) AS n_contaminated
+              FROM (SELECT doc_id, unnest(ws) AS g FROM win) e
+              LEFT JOIN bench b ON e.g = b.g
+              GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   len(w.ws) AS n_windows,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   round(CASE WHEN len(w.ws) > 0
+                         THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(w.ws)
+                         ELSE 0 END, 6) AS contamination_ratio,
+                   COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+            FROM win w LEFT JOIN hits h USING (doc_id)
+        """,
         "sample_deterministic": """
             SELECT doc_id, lang FROM documents
             WHERE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'

@@ -132,3 +132,60 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(F.col(text_col)).alias("n_chars_actual"),
         fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def _tokens_ascii(text: Column) -> Column:
+    """ASCII tokenizer shared with the cross-engine oracles (the \\p{L}
+    classes differ between regex engines; [a-z0-9] does not)."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Largest count of any single value in a SORTED array, as one
+    expression fold — equal values are adjacent after the sort, so the max
+    multiplicity is the max run length.  No explode, no shuffle: the mode
+    count of a row-local array in O(n) inside codegen."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 — the
+    'repetitious documents' filters, adapted to line-less text): per doc,
+
+    - ``n_tokens``
+    - ``distinct_token_ratio``  (low → boilerplate / keyword stuffing)
+    - ``top_token_fraction``    (fraction held by the single most frequent token)
+    - ``dup_bigram_fraction``   (1 − distinct bigrams / bigrams)
+    - ``top_bigram_fraction``
+
+    Entirely row-local array math (sort + fold, no explode/shuffle/UDF): a
+    100 TB corpus computes this in the scan stage."""
+    toks = _tokens_ascii(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(safe(F.size(F.array_distinct(toks)), n), 6).alias("distinct_token_ratio"),
+        F.round(safe(_max_run(F.sort_array(toks)), n), 6).alias("top_token_fraction"),
+        F.round(safe(nb - F.size(F.array_distinct(bigrams)), nb), 6).alias("dup_bigram_fraction"),
+        F.round(safe(_max_run(F.sort_array(bigrams)), nb), 6).alias("top_bigram_fraction"),
+    )

@@ -309,3 +309,57 @@ def test_embedding_near_dup_pairs_planted(spark, emb):
     assert all(r["sim"] >= 0.99 for r in out)
     from bifrost_spark.functions.cache import release_caches
     release_caches()
+
+
+def test_repetition_features_planted(spark):
+    from bifrost_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                      # one token repeated
+            (2, "a b c d e f g h"),                          # all distinct
+            (3, "x y x y x y x y"),                          # repeated bigram
+            (4, ""),                                         # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["top_token_fraction"] == 1.0
+    assert out[1]["distinct_token_ratio"] == 0.25
+    assert out[1]["dup_bigram_fraction"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["distinct_token_ratio"] == 1.0 and out[2]["dup_bigram_fraction"] == 0.0
+    # "x y x y ..." bigrams: [x y, y x, x y, y x, x y, y x, x y] → top = 4/7
+    assert out[3]["top_bigram_fraction"] == pytest.approx(4 / 7, abs=1e-6)
+    assert out[4]["n_tokens"] == 0 and out[4]["top_token_fraction"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    from bifrost_spark.functions.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon more tail here"),  # contains a 5-window
+            (2, "totally unrelated content with no benchmark overlap at all"),
+            (3, "alpha beta gamma"),                                            # < 5 tokens: no windows
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("none", "xxhash64"):
+        out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=5, hash_fn=mode).collect()}
+        assert out[1]["is_contaminated"] and out[1]["n_contaminated"] == 1  # one shared 5-window
+        assert not out[2]["is_contaminated"] and out[2]["n_contaminated"] == 0
+        assert out[3]["n_windows"] == 0 and not out[3]["is_contaminated"]
+        assert out[3]["contamination_ratio"] == 0.0
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    """The benchmark gram set must reach the probe as a broadcast — a
+    shuffled join here would exchange the full corpus gram stream."""
+    from bifrost_spark.functions.decontam import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    docs = spark.range(100).selectExpr("id AS doc_id", "'a b c d e f g h' AS text")
+    plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
