@@ -81,14 +81,54 @@ from bifrost_spark.intervals import merge_intervals as _merge_ranges  # noqa: E4
 class TargetTable:
     """A single-writer, multi-reader upsert table (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, at_snapshot: str | None = None):
+        """Open the table at CURRENT, or — time travel — at any retained
+        snapshot (``at_snapshot="v00000007"``): every commit leaves its full
+        manifest under ``_state/<snap>.json`` and its data under
+        ``data/<snap>/``, so an old state is just a different manifest to
+        read through (the Iceberg snapshot-read model; ``vacuum()`` is what
+        eventually retires old snapshots' data files).  A time-traveled
+        handle is strictly READ-ONLY — any commit attempt raises rather
+        than forking history."""
         self.spark = spark
         self.path = path
         # metadata I/O goes through a scheme-selected FS (metafs.py): POSIX
         # for plain paths, the Hadoop FileSystem API for hdfs://, s3a://,
         # file://, ... — the ADVICE round-1 object-store follow-up
         self._fs = metafs_for(spark, path)
+        self._at_snapshot = at_snapshot
+        if at_snapshot is not None:
+            def _read_only(*_a, **_kw):
+                raise RuntimeError(
+                    f"table opened read-only via time travel (at_snapshot={at_snapshot!r}); "
+                    "open without at_snapshot to write"
+                )
+            # shadows the commit point for this instance only — every
+            # mutation funnels through _write_snapshot, so one guard covers
+            # apply/merge/quarantine/repair/compact/vacuum alike
+            self._write_snapshot = _read_only
         self._load_state()
+
+    def snapshots(self) -> list[dict]:
+        """Commit history: one entry per retained snapshot manifest, oldest
+        first — (snapshot, last_event_id, n_commits, data_present).  Data
+        presence goes false once ``vacuum()`` retires a snapshot's files;
+        such snapshots are still listed (the manifest documents history)
+        but no longer time-travel-readable."""
+        state_dir = os.path.join(self.path, "_state")
+        out = []
+        for name in sorted(self._fs.listdir(state_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            snap = name[:-5]
+            st = json.loads(self._fs.read_text(os.path.join(state_dir, name)))
+            data_dirs = {s for s in st.get("buckets", {}).values()}
+            present = all(
+                self._fs.exists(os.path.join(self.path, "data", s)) for s in data_dirs
+            )
+            out.append({"snapshot": snap, "last_event_id": st.get("last_event_id"),
+                        "n_commits": st.get("n_commits", 0), "data_present": present})
+        return out
 
     # ------------------------------------------------------------------ state
     @classmethod
@@ -119,7 +159,14 @@ class TargetTable:
         fs.write_text_atomic(os.path.join(path, "_state", "CURRENT"), snap)
 
     def _load_state(self) -> None:
-        snap = self._fs.read_text(os.path.join(self.path, "_state", "CURRENT")).strip()
+        if getattr(self, "_at_snapshot", None) is not None:
+            snap = self._at_snapshot
+            if not self._fs.exists(os.path.join(self.path, "_state", f"{snap}.json")):
+                have = [e["snapshot"] for e in self.snapshots()]
+                raise FileNotFoundError(
+                    f"no snapshot manifest {snap!r} under {self.path}; retained: {have}")
+        else:
+            snap = self._fs.read_text(os.path.join(self.path, "_state", "CURRENT")).strip()
         self.state = json.loads(self._fs.read_text(os.path.join(self.path, "_state", f"{snap}.json")))
         # migrate pre-interval-manifest state (round-1 tables)
         if "applied_ranges" not in self.state:
@@ -900,6 +947,12 @@ class TargetTable:
         copy-on-write commits).  Safe with live readers only under the
         single-writer assumption readers use a loaded-state handle for —
         like Iceberg's expire_snapshots, callers pick the retention moment."""
+        if self._at_snapshot is not None:
+            # vacuum deletes files without a snapshot commit, so the
+            # _write_snapshot read-only shadow doesn't cover it — guard here
+            raise RuntimeError(
+                f"table opened read-only via time travel (at_snapshot={self._at_snapshot!r}); "
+                "open without at_snapshot to vacuum")
         live = set(self.state["buckets"].values())
         data = os.path.join(self.path, "data")
         removed = []
