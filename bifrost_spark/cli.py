@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status")
     st.add_argument("--table", required=True)
+    st.add_argument("--at-snapshot", default=None,
+                    help="time travel: inspect a retained snapshot (read-only)")
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("--table", required=True)
 
     args = ap.parse_args(argv)
     spark = get_spark(f"bifrost-{args.cmd}", master=args.master)
@@ -167,8 +172,10 @@ def main(argv: list[str] | None = None) -> int:
         out = TargetTable(spark, args.table).compact(args.tombstone_lwm)
     elif args.cmd == "vacuum":
         out = TargetTable(spark, args.table).vacuum()
+    elif args.cmd == "snapshots":
+        out = {"snapshots": TargetTable(spark, args.table).snapshots()}
     else:  # status
-        table = TargetTable(spark, args.table)
+        table = TargetTable(spark, args.table, at_snapshot=args.at_snapshot)
         out = {
             "snapshot": table.state["snapshot"],
             "n_buckets": table.n_buckets,
