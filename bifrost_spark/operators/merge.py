@@ -68,6 +68,15 @@ from bifrost_spark.schemas import LOGICAL_TYPES, PK_COLUMNS, TARGET_BASE_FIELDS
 BASE_COLS = [f.name for f in TARGET_BASE_FIELDS]  # repo path commit lang content last_event_id
 
 
+
+def _write_width(n_buckets: int) -> int:
+    """Post-shuffle width for bucket-partitioned writes.  Default 2×buckets:
+    hashing twice as many partitions as buckets thins collision hot spots
+    (two buckets landing on one reducer) at the cost of ~2 files/bucket;
+    A/B'd on the bench batch shape (BIFROST_WRITE_WIDTH_MULT to retune on
+    other cluster/bucket geometries)."""
+    return max(1, int(os.environ.get("BIFROST_WRITE_WIDTH_MULT", "2"))) * n_buckets
+
 def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in PK_COLUMNS]), F.lit(n_buckets)).cast("int")
 
@@ -331,7 +340,7 @@ class TargetTable:
         df = snapshot_df.withColumn("bucket", bucket_expr(self.n_buckets)).withColumn("is_deleted", F.lit(False))
         df = self.registry.align(df, self.state["schema_version"], base_cols=[*BASE_COLS, "is_deleted", "bucket"],
                                  keep_extra_map=True)
-        df.repartition(2 * self.n_buckets, "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
+        df.repartition(_write_width(self.n_buckets), "bucket").write.partitionBy("bucket").mode("overwrite").parquet(out_dir)
         written = self._buckets_in(out_dir)
         st = dict(self.state)
         st["snapshot"] = snap
@@ -748,7 +757,7 @@ class TargetTable:
         val = F.struct("op", "commit", "lang", "content", *extras, "extra", "event_id")
         win = (
             src.unionByName(tgt_ops)
-            .repartition(2 * self.n_buckets, "bucket")
+            .repartition(_write_width(self.n_buckets), "bucket")
             .groupBy("bucket", *PK_COLUMNS)
             .agg(F.max_by(val, F.col("seq")).alias("v"))
         )
@@ -925,7 +934,7 @@ class TargetTable:
         snap = self._next_snapshot()
         out_dir = os.path.join(self.path, "data", snap)
         (
-            keep.repartition(2 * self.n_buckets, "bucket")
+            keep.repartition(_write_width(self.n_buckets), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(out_dir)
