@@ -626,7 +626,7 @@ def _ensure_mm_oracle() -> str:
 
 
 _MM2_ORACLE_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm2_expected_v1"
+    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm2_expected_v2"
 )
 
 
@@ -659,12 +659,26 @@ def _ensure_mm2_oracle() -> str:
             if mid % 3 == 0:
                 w, h = 16 + m % 13, 12 + m % 11
                 y, x = np.mgrid[0:h, 0:w]
-                if (mid // 3) % 4 == 0:
+                sel = (mid // 3) % 4
+                if sel == 0:
                     arr = ((x * 3 + y * 5 + m * 7) % 256).astype(np.uint8)
+                    payload = pnm_bytes(arr)
                 else:
                     c = np.arange(3)[None, None, :]
                     arr = ((x[..., None] * 3 + y[..., None] * 5 + m * 7 + c * 11) % 256).astype(np.uint8)
-                payload = pnm_bytes(arr)
+                    if sel == 1:  # inline 24-bit BMP serializer (independent of the engine's)
+                        row_bytes = (w * 3 + 3) & ~3
+                        body = b"".join(
+                            arr[yy, :, ::-1].tobytes() + b"\x00" * (row_bytes - w * 3)
+                            for yy in range(h - 1, -1, -1)
+                        )
+                        payload = (
+                            struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+                            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+                            + body
+                        )
+                    else:
+                        payload = pnm_bytes(arr)
                 gray = arr.astype(np.float64) if arr.ndim == 2 else arr.mean(axis=2)
                 hist = np.bincount((gray.ravel() / 16).astype(np.int64).clip(0, 15), minlength=16)
                 p = hist / gray.size

@@ -232,17 +232,18 @@ def synthesize_codec_media(spark, n: int = 192, seed: int = 7) -> DataFrame:
 
     def _payload(mid: int) -> tuple[str, str, bytes, int | None, int | None, int | None]:
         m = mid + seed
-        if mid % 3 == 0:  # image: PPM, every 4th a grayscale PGM
+        if mid % 3 == 0:  # image: PPM; cycle in a grayscale PGM and a BMP
             w, h = 16 + m % 13, 12 + m % 11
             y, x = np.mgrid[0:h, 0:w]
-            if (mid // 3) % 4 == 0:
+            sel = (mid // 3) % 4
+            if sel == 0:
                 arr = ((x * 3 + y * 5 + m * 7) % 256).astype(np.uint8)
-                mime = "image/x-portable-graymap"
-            else:
-                c = np.arange(3)[None, None, :]
-                arr = ((x[..., None] * 3 + y[..., None] * 5 + m * 7 + c * 11) % 256).astype(np.uint8)
-                mime = "image/x-portable-pixmap"
-            return "image", mime, encode_pnm(arr), w, h, None
+                return "image", "image/x-portable-graymap", encode_pnm(arr), w, h, None
+            c = np.arange(3)[None, None, :]
+            arr = ((x[..., None] * 3 + y[..., None] * 5 + m * 7 + c * 11) % 256).astype(np.uint8)
+            if sel == 1:
+                return "image", "image/bmp", encode_bmp(arr), w, h, None
+            return "image", "image/x-portable-pixmap", encode_pnm(arr), w, h, None
         if mid % 3 == 1:  # audio: two-tone 16-bit PCM
             rate = 8000
             ns = 800 + (m % 800) * 2
@@ -275,6 +276,8 @@ def decode_payload(data: bytes) -> list[float] | None:
     is not one of the dependency-free codecs."""
     if data[:2] in (b"P5", b"P6"):
         return image_features(decode_pnm(data))
+    if data[:2] == b"BM":
+        return image_features(decode_bmp(data))
     if data[:4] == b"RIFF":
         return audio_features(*decode_wav(data))
     if data[:4] == b"BIFV":
@@ -381,3 +384,43 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", F.posexplode(frames).alias("frame_idx", "_"))
         .select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
     )
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 (RGB) → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding)."""
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    bgr = arr[:, :, ::-1]  # RGB → BGR
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        img += bgr[y].tobytes() + pad
+    data_size = len(img)
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    return header + info + bytes(img)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 HxWx3 RGB.  Handles bottom-up AND
+    top-down (negative height) layouts and 4-byte row padding; rejects
+    compressed / non-24-bit variants explicitly."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for i in range(h):
+        start = offset + i * row_bytes
+        row = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=start).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR → RGB
+    arr = np.stack(rows)
+    return arr if top_down else arr[::-1]

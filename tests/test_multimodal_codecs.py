@@ -104,3 +104,22 @@ def test_real_decode_pipeline(spark):
     n_vid_frames = sum(int(r["feature"][0]) for r in by_kind["video"])
     assert len(frames) == n_vid_frames
     assert all(len(r["frame_digest"]) == 64 for r in frames)
+
+
+def test_bmp_roundtrip_and_variants():
+    from bifrost_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    a = (np.arange(11 * 7 * 3).reshape(11, 7, 3) % 256).astype(np.uint8)  # odd width → row padding
+    assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+    # top-down variant (negative height) — some encoders emit it
+    data = bytearray(encode_bmp(a))
+    import struct as _s
+    (_w, _h) = _s.unpack_from("<ii", data, 18)
+    _s.pack_into("<ii", data, 18, _w, -_h)
+    # rows must be re-ordered for top-down to represent the same image:
+    # flipping only the sign flag means the decoder should return the flip
+    assert np.array_equal(decode_bmp(bytes(data)), a[::-1])
+    with pytest.raises(ValueError, match="24-bit"):
+        hdr = _s.pack("<2sIHHI", b"BM", 60, 0, 0, 54) + _s.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0) + b"\x00" * 6
+        decode_bmp(hdr)
