@@ -304,7 +304,15 @@ def extract_features(media: DataFrame, feature_dim: int = 8, decode_stub: bool =
         def one(b) -> tuple[str, list[float]]:
             raw = bytes(b) if b is not None else b""
             digest = hashlib.sha256(raw).hexdigest()
-            feats = decode_payload(raw) if raw else None
+            # A truncated/corrupt payload that still carries a known magic
+            # would otherwise raise out of decode_payload and kill the whole
+            # task; on real corpora corrupt media rows are routine, so a
+            # failed decode falls back to the stub branch like any other
+            # unmatched payload.
+            try:
+                feats = decode_payload(raw) if raw else None
+            except (ValueError, struct.error, IndexError):
+                feats = None
             if feats is None:
                 if not decode_stub:
                     raise NotImplementedError(
@@ -355,10 +363,15 @@ def extract_frames(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 raw = bytes(payload)
                 if raw[:4] != b"BIFV":
                     continue
-                frame_ms, frames = decode_bifv(raw)
+                try:
+                    frame_ms, frames = decode_bifv(raw)
+                except (ValueError, struct.error, IndexError):
+                    continue
                 for k, fr in enumerate(frames):
                     rows.append({
                         "media_id": int(mid), "frame_idx": k,

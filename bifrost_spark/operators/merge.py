@@ -74,8 +74,13 @@ def _write_width(n_buckets: int) -> int:
     hashing twice as many partitions as buckets thins collision hot spots
     (two buckets landing on one reducer) at the cost of ~2 files/bucket;
     A/B'd on the bench batch shape (BIFROST_WRITE_WIDTH_MULT to retune on
-    other cluster/bucket geometries)."""
-    return max(1, int(os.environ.get("BIFROST_WRITE_WIDTH_MULT", "2"))) * n_buckets
+    other cluster/bucket geometries).  A malformed env value falls back to
+    the default rather than crashing every write path far from the knob."""
+    try:
+        mult = int(os.environ.get("BIFROST_WRITE_WIDTH_MULT", "2"))
+    except ValueError:
+        mult = 2
+    return max(1, mult) * n_buckets
 
 def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in PK_COLUMNS]), F.lit(n_buckets)).cast("int")
@@ -117,6 +122,18 @@ class TargetTable:
             # apply/merge/quarantine/repair/compact/vacuum alike
             self._write_snapshot = _read_only
         self._load_state()
+
+    def _assert_writable(self, op: str) -> None:
+        """Fail mutating entry points up front on a time-traveled handle.
+        The _write_snapshot shadow still backstops the final commit, but
+        raising at entry avoids running a whole merge job and littering
+        orphan data/<snap> dirs that only a later vacuum would reclaim."""
+        if self._at_snapshot is not None:
+            raise RuntimeError(
+                f"{op}: table opened read-only via time travel "
+                f"(at_snapshot={self._at_snapshot!r}); open without "
+                "at_snapshot to write"
+            )
 
     def snapshots(self) -> list[dict]:
         """Commit history: one entry per retained snapshot manifest, oldest
@@ -646,6 +663,7 @@ class TargetTable:
           either winner is byte-identical (guard semantics of ``merge`` are
           preserved: a src op beats a table row only when strictly newer).
         """
+        self._assert_writable("apply_ops")
         if self.is_applied(batch_id, batch_range, range_exclusive):
             return {"skipped": True, "batch_id": batch_id}
         # The cost choice needs a batch size AND a distinct-key estimate.
@@ -654,6 +672,16 @@ class TargetTable:
         # without hints gets ONE agg job here (count + approx distinct
         # keys, same scan) rather than being silently routed to the fused
         # FULL-TABLE rewrite with the hot-key pre-LWW guard disarmed.
+        if n_ops_hint is not None and n_keys_hint is None:
+            # A size hint alone would silently disarm the pre-LWW hot-key
+            # guard (bool(None) is False) — still estimate the key count.
+            from bifrost_spark.schemas import PK_COLUMNS
+
+            n_keys_hint = ops.agg(
+                F.approx_count_distinct(
+                    F.concat_ws("\x01", *[F.col(c) for c in PK_COLUMNS])
+                ).alias("k")
+            ).collect()[0]["k"]
         if n_ops_hint is not None:
             n_ops = n_ops_hint
         else:
@@ -858,6 +886,7 @@ class TargetTable:
         range counts as applied (exactly-once bookkeeping stays monotone);
         re-applying the repaired events later goes through the normal merge
         guard, which ignores anything older than what has since landed."""
+        self._assert_writable("quarantine")
         dl_dir = os.path.join(self.path, "_deadletter", batch_id.replace(":", "_"))
         events.write.mode("overwrite").parquet(dl_dir)
         st = dict(self.state)
@@ -888,6 +917,7 @@ class TargetTable:
         stays on the applied record, so exactly-once bookkeeping is intact
         and the per-key merge guard drops anything that has since been
         superseded by newer events."""
+        self._assert_writable("repair_dead_letter")
         from bifrost_spark.operators.lww import events_to_ops
 
         entry = next((a for a in self.dead_letters() if a["batch_id"] == batch_id), None)
@@ -928,6 +958,7 @@ class TargetTable:
         ``merge`` — readers are never torn, and a crash mid-compact leaves
         only an orphan snapshot dir for ``vacuum``.
         """
+        self._assert_writable("compact")
         lwm = -1 if tombstone_low_water_mark is None else tombstone_low_water_mark
         cur = self.read(include_deleted=True)
         keep = cur.filter(~F.col("is_deleted") | (F.col("last_event_id") > F.lit(lwm)))

@@ -252,23 +252,34 @@ def test_fused_prelww_knob_equal_state(spark, tmp_path, monkeypatch):
     rows += [("r", "b", "delete", None, None, None, None, 40),
              ("r", "c", "upsert", "c5", "go", "x1", None, 41)]
 
-    def run(tag, env=None, n_keys_hint=None):
+    def run(tag, env=None, n_keys_hint=None, extra_rows=()):
         monkeypatch.delenv("BIFROST_FUSED_PRELWW", raising=False)
         if env is not None:
             monkeypatch.setenv("BIFROST_FUSED_PRELWW", env)
         t = TargetTable.create(spark, str(tmp_path / f"tp_{tag}"), n_buckets=4)
-        res = t.apply_ops(_ops(spark, rows), batch_id="b1", batch_range=(10, 41),
-                          n_ops_hint=len(rows), n_keys_hint=n_keys_hint)
+        batch = rows + list(extra_rows)
+        hi = max(r[-1] for r in batch)
+        res = t.apply_ops(_ops(spark, batch), batch_id="b1", batch_range=(10, hi),
+                          n_ops_hint=len(batch), n_keys_hint=n_keys_hint)
         assert res.get("fused"), res
         return res["pre_lww"], _state(t)
 
     on, s_forced = run("force_on", env="1")
-    off, s_default = run("default")
+    # size hint without a key hint: apply_ops self-estimates the distinct
+    # keys (ADVICE round-3 — a lone n_ops_hint must not silently disarm the
+    # guard).  This batch is 22 ops / 3 keys = 7.3 < ratio 8 → correctly off…
+    unhinted_off, s_default = run("default")
+    # …and piling 10 more dups onto the hot key (32 ops / 3 keys > 8) arms
+    # it WITHOUT a key hint — proof the estimate actually ran.
+    hot_extra = [("r", "a", "upsert", f"h{i}", "py", f"hv{i}", None, 50 + i)
+                 for i in range(10)]
+    unhinted_on, _ = run("default_hot", extra_rows=hot_extra)
     auto_on, s_auto = run("auto", n_keys_hint=2)       # 22 ops / 2 keys > 8
     auto_off, s_even = run("even", n_keys_hint=20)     # 22 ops / 20 keys < 8
     force_off, s_off = run("force_off", env="0", n_keys_hint=1)
 
-    assert (on, off, auto_on, auto_off, force_off) == (True, False, True, False, False)
+    assert (on, unhinted_off, unhinted_on, auto_on, auto_off, force_off) == (
+        True, False, True, True, False, False)
     assert s_forced == s_default == s_auto == s_even == s_off
 
 

@@ -123,3 +123,34 @@ def test_bmp_roundtrip_and_variants():
         hdr = _s.pack("<2sIHHI", b"BM", 60, 0, 0, 54) + _s.pack(
             "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0) + b"\x00" * 6
         decode_bmp(hdr)
+
+
+def test_corrupt_and_null_payloads_survive(spark):
+    """ADVICE round-3: corrupt media rows are routine in real corpora — a
+    truncated payload that still carries a known magic (BM / RIFF / BIFV /
+    P6) must fall back to the stub branch instead of killing the task, and
+    extract_frames must skip null payloads like extract_features does."""
+    from bifrost_spark.functions.multimodal import MEDIA_SCHEMA, encode_bifv
+
+    good_vid = encode_bifv(
+        [(np.arange(4 * 4).reshape(4, 4) % 256).astype(np.uint8)] * 2, 100
+    )
+    rows = [
+        (1, "image", "image/bmp", 4, 4, None, b"BM\x00\x01"),        # truncated BMP
+        (2, "audio", "audio/wav", None, None, 100, b"RIFF\x00\x00"),  # truncated WAV
+        (3, "video", "video/bifv", 4, 4, 200, b"BIFV\xff"),           # truncated BIFV
+        (4, "image", "image/pnm", 2, 2, None, b"P6\n2 2\n255\n\x00"), # short raster
+        (5, "video", "video/bifv", 4, 4, 200, None),                  # null payload
+        (6, "video", "video/bifv", 4, 4, 200, good_vid),              # control row
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, decode_stub=True).collect()
+    assert len(feats) == 6  # nothing raised; corrupt rows took the stub path
+    assert all(len(r["feature"]) == 8 for r in feats)
+    frames = extract_frames(media).collect()
+    # only the one well-formed BIFV payload fans out
+    assert {r["media_id"] for r in frames} == {6} and len(frames) == 2
+    # decode_stub=False: corrupt rows hit the documented raise, not a
+    # decoder traceback deep inside numpy
+    with pytest.raises(Exception, match="NotImplementedError|no dependency-free codec"):
+        extract_features(media, decode_stub=False).collect()

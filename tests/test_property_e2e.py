@@ -62,8 +62,11 @@ def event_streams(draw):
                      "content": draw(st.sampled_from(CONTENTS))}
         events.append((event_id, 1, event_id, kind, "code", "repos", TS,
                        None, None, before, after, None, 0))
-    # arbitrary batch split points (1-3 batches over the id range)
-    n_splits = draw(st.integers(min_value=0, max_value=2))
+    # arbitrary batch split points (1-3 batches over the id range); there
+    # are only n-1 distinct interior split points, so cap n_splits there —
+    # round-3 verdict: st.sets(min_size=2) over a 1-element domain raises
+    # hypothesis.errors.InvalidArgument when n == 2.
+    n_splits = draw(st.integers(min_value=0, max_value=min(2, n - 1)))
     splits = sorted(draw(st.sets(st.integers(min_value=1, max_value=n - 1),
                                  min_size=n_splits, max_size=n_splits)))
     return events, splits

@@ -56,3 +56,43 @@ def test_time_travel_reads_each_batch_state(spark, tmp_path):
     assert [h["snapshot"] for h in hist2] == [table.state["snapshot"]]
     final = sequential_apply(pdf)
     assert content_sha_map(table.to_pandas_sorted()) == content_sha_map(final)
+
+
+def test_time_travel_mutations_raise_at_entry(spark, tmp_path, monkeypatch):
+    """ADVICE round-3: the read-only guard must fire BEFORE the merge job
+    runs, or a time-traveled apply_ops litters orphan data/<snap> dirs that
+    only a later vacuum reclaims.  Assert no new data dir appears."""
+    import os
+
+    from bifrost_spark.operators.lww import events_to_ops
+
+    events = generate_events(spark, CFG)
+    table = TargetTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ReplayEngine(table, ordered=True).apply_batch(events)
+
+    old = TargetTable(spark, table.path, at_snapshot="v00000000")
+    data_dir = os.path.join(table.path, "data")
+    before = sorted(os.listdir(data_dir))
+    ops = events_to_ops(events.limit(10))
+    for call in (
+        lambda: old.apply_ops(ops, "tt", (1, 10)),
+        lambda: old.quarantine(events.limit(1), "tt2", (1, 2), "boom"),
+        lambda: old.repair_dead_letter("tt2"),
+        lambda: old.compact(),
+    ):
+        with pytest.raises(RuntimeError, match="read-only"):
+            call()
+    assert sorted(os.listdir(data_dir)) == before  # no orphan snapshot dirs
+
+
+def test_write_width_env_is_parsed_defensively(monkeypatch):
+    """ADVICE round-3: a malformed BIFROST_WRITE_WIDTH_MULT must not crash
+    every write path with a bare ValueError far from the knob."""
+    from bifrost_spark.operators.merge import _write_width
+
+    monkeypatch.setenv("BIFROST_WRITE_WIDTH_MULT", "not-an-int")
+    assert _write_width(8) == 16  # falls back to the default multiplier 2
+    monkeypatch.setenv("BIFROST_WRITE_WIDTH_MULT", "3")
+    assert _write_width(8) == 24
+    monkeypatch.setenv("BIFROST_WRITE_WIDTH_MULT", "-1")
+    assert _write_width(8) == 8  # clamped to ≥1 partition
