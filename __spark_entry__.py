@@ -626,8 +626,38 @@ def _ensure_mm_oracle() -> str:
 
 
 _MM2_ORACLE_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm2_expected_v2"
+    os.path.dirname(os.path.abspath(__file__)), ".oracle", "mm2_expected_v3"
 )
+
+# The correctness harness compares engine vs oracle at sf0.01; the xx-mode
+# MinHash twin (below) reads the same documents table Spark-free.
+_XX_ORACLE_SF_DIR = os.environ.get("BIFROST_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ensure_xx_oracle() -> str:
+    """Spark-free recompute of the PRODUCTION-mode (xxhash64) MinHash-LSH
+    candidate set: pure-Python XXH64 (bit-equal to the JVM intrinsic —
+    tests/test_functions.py) + numpy signatures + slice banding, from
+    bifrost_spark/oracle_dedup.py.  Emits the PRE-verify candidate pairs
+    with the twin's est_jaccard; the oracle SQL recomputes exact Jaccard
+    from raw gram strings in DuckDB (hash-independent) and applies the
+    >= 0.5 filter, so both halves of the pipeline are independently
+    checked — clearing the round-3 `no_oracle` row."""
+    tag = os.path.basename(os.path.normpath(_XX_ORACLE_SF_DIR)).replace(".", "_")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".oracle", f"xx_candidates_v1_{tag}.parquet"
+    )
+    if not os.path.exists(path):
+        import pandas as pd
+
+        from bifrost_spark.oracle_dedup import minhash_lsh_candidates_xx_oracle
+
+        docs = pd.read_parquet(os.path.join(_XX_ORACLE_SF_DIR, "documents.parquet"))
+        cands = minhash_lsh_candidates_xx_oracle(docs, min_jaccard=0.0, seed=1)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cands.drop(columns=["jaccard"]).to_parquet(path + ".tmp", index=False)
+        os.replace(path + ".tmp", path)
+    return path
 
 
 def _ensure_mm2_oracle() -> str:
@@ -677,6 +707,46 @@ def _ensure_mm2_oracle() -> str:
                             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
                             + body
                         )
+                    elif sel == 2:  # inline PNG serializer (independent of the engine's):
+                        # plain-Python per-scanline filtering (the engine's is
+                        # vectorized numpy) + the same stdlib zlib stream —
+                        # byte equality holds iff both filter implementations
+                        # agree on every predictor.
+                        import zlib
+
+                        ft = m % 5
+                        px = [[int(v) for v in arr[yy].reshape(w * 3)] for yy in range(h)]
+                        raw = bytearray()
+                        prev = [0] * (w * 3)
+                        for line in px:
+                            raw.append(ft)
+                            for i, v in enumerate(line):
+                                left = line[i - 3] if i >= 3 else 0
+                                up = prev[i]
+                                ul = prev[i - 3] if i >= 3 else 0
+                                if ft == 0:
+                                    pred = 0
+                                elif ft == 1:
+                                    pred = left
+                                elif ft == 2:
+                                    pred = up
+                                elif ft == 3:
+                                    pred = (left + up) // 2
+                                else:
+                                    pp = left + up - ul
+                                    pa, pb, pc = abs(pp - left), abs(pp - up), abs(pp - ul)
+                                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                                raw.append((v - pred) % 256)
+                            prev = line
+
+                        def chunk(ctype, body):
+                            return (struct.pack(">I", len(body)) + ctype + body
+                                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+                        payload = (b"\x89PNG\r\n\x1a\n"
+                                   + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                                   + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                                   + chunk(b"IEND", b""))
                     else:
                         payload = pnm_bytes(arr)
                 gray = arr.astype(np.float64) if arr.ndim == 2 else arr.mean(axis=2)
@@ -815,7 +885,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir), dim=64, threshold=0.2, n_planes=8, n_tables=2,
-        seed=7, signature_impl="pandas",
+        seed=7, signature_impl="auto",
     )
 
 
@@ -1265,11 +1335,12 @@ def q_dedup_minhash_lsh_xx(spark, sf_dir):
     """Production-mode MinHash+LSH: identical pipeline to
     ``dedup_minhash_lsh`` but with the throughput-default xxhash64 shingle
     hash (single JVM intrinsic) instead of the oracle-portable per-character
-    polynomial fold.  xxhash64 has no DuckDB equivalent, so this entry has
-    no oracle_sql — the poly-mode twin carries the full cross-engine check
-    of the same pipeline (same tokens→shingles→signatures→bands→verify
-    code path, only the leaf hash differs); pytest covers this mode
-    directly (tests/test_functions.py planted-dup + corpus cases)."""
+    polynomial fold.  Oracle-checked since round 4: the candidate half is
+    recomputed by a Spark-free pure-Python XXH64 twin
+    (bifrost_spark/oracle_dedup.py, hash verified bit-equal to the JVM
+    intrinsic in tests/test_functions.py), and the exact-Jaccard verify half
+    is recomputed hash-independently in DuckDB from the raw gram string
+    sets — see oracle_sql()["dedup_minhash_lsh_xx"]."""
     from bifrost_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
@@ -1388,7 +1459,7 @@ def q_sim_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
     return lsh_bucketed_topk(
-        emb, q, dim=64, k=5, n_planes=8, n_tables=2, seed=7, signature_impl="pandas"
+        emb, q, dim=64, k=5, n_planes=8, n_tables=2, seed=7, signature_impl="auto"
     )
 
 
@@ -2028,6 +2099,42 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ensure_mm2_oracle()}_frames.parquet')
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        # Production xxhash64 mode (round-3 `no_oracle` row cleared): the
+        # candidate half comes from the Spark-free pure-Python XXH64 twin
+        # (bifrost_spark/oracle_dedup.py — bit-equal hash, independent
+        # tokenizer/signature/banding implementation); the verify half is
+        # recomputed HERE in DuckDB from the raw word-3-gram STRING sets —
+        # fully hash-independent — and re-applies the >= 0.5 filter.  The
+        # sandbox documents are ASCII, so [^a-z0-9]+ tokenization equals the
+        # engine's [^\p{L}\p{N}]+ on this corpus (the twin uses real Unicode
+        # categories and is the binding check for non-ASCII).
+        "dedup_minhash_lsh_xx": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                                      i -> array_to_string(tk[i+1:i+3], ' ')),
+                       g -> g <> '')) AS gs
+              FROM toks
+            ), cand AS (
+              SELECT doc_a, doc_b, est_jaccard
+              FROM read_parquet('{_ensure_xx_oracle()}')
+            ), scored AS (
+              SELECT c.doc_a, c.doc_b, c.est_jaccard,
+                     CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                       / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) AS jac
+              FROM cand c
+              JOIN grams ga ON c.doc_a = ga.doc_id
+              JOIN grams gb ON c.doc_b = gb.doc_id
+              WHERE len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) > 0
+            )
+            SELECT doc_a, doc_b, est_jaccard, round(jac, 6) AS jaccard
+            FROM scored WHERE round(jac, 6) >= 0.5
+        """,
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "text_repetition": """
             WITH tk AS (

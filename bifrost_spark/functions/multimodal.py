@@ -243,6 +243,10 @@ def synthesize_codec_media(spark, n: int = 192, seed: int = 7) -> DataFrame:
             arr = ((x[..., None] * 3 + y[..., None] * 5 + m * 7 + c * 11) % 256).astype(np.uint8)
             if sel == 1:
                 return "image", "image/bmp", encode_bmp(arr), w, h, None
+            if sel == 2:
+                # rotate through all five scanline filters so the PNG
+                # unfilter paths are continuously exercised at scale
+                return "image", "image/png", encode_png(arr, filter_type=m % 5), w, h, None
             return "image", "image/x-portable-pixmap", encode_pnm(arr), w, h, None
         if mid % 3 == 1:  # audio: two-tone 16-bit PCM
             rate = 8000
@@ -278,6 +282,8 @@ def decode_payload(data: bytes) -> list[float] | None:
         return image_features(decode_pnm(data))
     if data[:2] == b"BM":
         return image_features(decode_bmp(data))
+    if data[:8] == PNG_MAGIC:
+        return image_features(decode_png(data))
     if data[:4] == b"RIFF":
         return audio_features(*decode_wav(data))
     if data[:4] == b"BIFV":
@@ -437,3 +443,129 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows.append(row[:, ::-1])  # BGR → RGB
     arr = np.stack(rows)
     return arr if top_down else arr[::-1]
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 HxW (grayscale) or HxWx3 (RGB) → PNG bytes — stdlib only
+    (struct chunk framing + zlib deflate).  ``filter_type`` picks the
+    per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) so the
+    decoder's unfilter paths are all byte-round-trip testable."""
+    import zlib
+
+    color = arr.ndim == 3
+    h, w = arr.shape[:2]
+    bpp = 3 if color else 1
+    px = arr.astype(np.uint8).reshape(h, w * bpp).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for r in range(h):
+        line = px[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:
+            out = line - left
+        elif filter_type == 2:
+            out = line - prev
+        elif filter_type == 3:
+            out = line - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            out = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 HxW or HxWx3 — stdlib-only real decode: chunk walk with
+    CRC verification, multi-IDAT zlib inflate, and all five scanline
+    unfilters (None/Sub/Up/Average/Paeth).  Supports the shapes real
+    screenshot/diagram corpora overwhelmingly contain — 8-bit greyscale
+    (color type 0) and truecolor (type 2), non-interlaced; palette/alpha/
+    16-bit/interlaced variants are rejected explicitly (PIL territory)."""
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + size > len(data):
+            raise ValueError("truncated PNG chunk")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB PNG supported "
+            f"(depth={depth}, color_type={ctype_n}, interlace={interlace})"
+        )
+    bpp = 3 if ctype_n == 2 else 1
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=r * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters recur along the scanline
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, bpp)
+    return arr[..., 0] if bpp == 1 else arr

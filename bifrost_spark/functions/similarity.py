@@ -114,6 +114,23 @@ def lsh_signatures_expr(vec: Column, planes) -> Column:
     return F.array(*sigs)
 
 
+# Auto mode picks the literal path while the plan stays below this many
+# Catalyst nodes (n_tables × n_planes × dim).  Rationale, measured at sf0.1
+# local[32]: below it, whole-stage-codegen'd literals beat the pandas path's
+# Arrow worker spin-up + batch exchange (the round-3 bench regression:
+# sim_ann_lsh 3.05→4.88 s when dim-64 queries were forced onto the pandas
+# path); above it, plan build/optimize time blows up (~23k nodes at dim 768)
+# and the O(1)-plan Arrow matmul wins by orders of magnitude.
+AUTO_EXPR_MAX_NODES = 4096
+
+
+def _pick_signature_impl(signature_impl: str, planes) -> str:
+    if signature_impl != "auto":
+        return signature_impl
+    n_tables, n_planes, dim = planes.shape
+    return "expr" if n_tables * n_planes * dim <= AUTO_EXPR_MAX_NODES else "pandas"
+
+
 def lsh_signatures_pandas(vec: Column, planes) -> Column:
     """Signatures for every table as array<long> — Arrow-batched numpy
     matmul.  One (batch × dim) @ (dim × tables·planes) product per Arrow
@@ -152,7 +169,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
-    signature_impl: str = "pandas",
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed SELF-join (a pair
     is a candidate iff it shares a bucket in ANY table) + exact cosine
@@ -162,7 +179,9 @@ def embedding_near_dup_pairs(
     only wide dependency, candidates never materialize globally, vectors
     are late-materialized for candidate pairs only."""
     planes = hyperplanes(dim, n_planes, n_tables, seed)
-    sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
+    sig_fn = (lsh_signatures_pandas
+              if _pick_signature_impl(signature_impl, planes) == "pandas"
+              else lsh_signatures_expr)
     c = register_cache(spread_for_compute(corpus).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")))
     b = c.select("id", F.posexplode(sig_fn(F.col("v"), planes)).alias("tbl", "sig"))
@@ -334,7 +353,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
-    signature_impl: str = "pandas",
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing a bucket with the query
     in ANY of n_tables hash tables; exact cosine re-rank on candidates.
@@ -343,7 +362,9 @@ def lsh_bucketed_topk(
     any dim) or "expr" (pure Catalyst literals; only for small dims).  Both
     produce identical signatures (quantized-projection bits)."""
     planes = hyperplanes(dim, n_planes, n_tables, seed)
-    sig_fn = lsh_signatures_pandas if signature_impl == "pandas" else lsh_signatures_expr
+    sig_fn = (lsh_signatures_pandas
+              if _pick_signature_impl(signature_impl, planes) == "pandas"
+              else lsh_signatures_expr)
     c = register_cache(spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")))
     q = register_cache(queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")))

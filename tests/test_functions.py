@@ -363,3 +363,90 @@ def test_decontaminate_benchmark_broadcasts(spark):
     docs = spark.range(100).selectExpr("id AS doc_id", "'a b c d e f g h' AS text")
     plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_signature_auto_picks_by_plan_size(spark):
+    """Round-3 bench regression guard: "auto" must take the codegen literal
+    path at small dims (Arrow worker spin-up dominates there) and the O(1)-
+    plan pandas path at real embedding dims — and both impls must produce
+    identical top-k results where they overlap."""
+    import numpy as np
+
+    from bifrost_spark.functions.cache import release_caches
+    from bifrost_spark.functions.similarity import (
+        AUTO_EXPR_MAX_NODES,
+        _pick_signature_impl,
+        hyperplanes,
+        lsh_bucketed_topk,
+    )
+
+    assert _pick_signature_impl("auto", hyperplanes(64, 8, 2)) == "expr"    # 1024 nodes
+    assert _pick_signature_impl("auto", hyperplanes(768, 10, 3)) == "pandas"  # 23040 nodes
+    assert _pick_signature_impl("expr", hyperplanes(768, 10, 3)) == "expr"  # explicit wins
+    assert 64 * 8 * 2 <= AUTO_EXPR_MAX_NODES < 768 * 10 * 3
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(64).astype(float).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+
+    def run(impl):
+        out = lsh_bucketed_topk(emb, q, dim=64, k=3, n_planes=8, n_tables=2,
+                                seed=7, signature_impl=impl)
+        rows = sorted(tuple(r) for r in out.collect())
+        release_caches()
+        return rows
+
+    assert run("expr") == run("pandas") == run("auto")
+
+
+def test_pure_python_xxh64_matches_spark(spark):
+    """bifrost_spark.xxh64 is the oracle-side twin of the JVM intrinsic —
+    every length class of the XXH64 spec (empty, <4, <8, 8-31, >=32 bytes),
+    unicode, the long variant, and the chained-seed form Spark uses for
+    banding must be bit-equal."""
+    from bifrost_spark.xxh64 import xxh64, xxh64_long, xxh64_str
+
+    strs = ["", "a", "abc", "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 100,
+            "café 中文 🎉", "the quick brown fox"]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert r["h"] == xxh64_str(r["s"]), repr(r["s"])
+    longs = [0, 1, -1, 2**40, -(2**40), 2**63 - 1, -(2**63)]
+    dfl = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in dfl.select("v", F.xxhash64("v").alias("h")).collect():
+        assert r["h"] == xxh64_long(r["v"]), r["v"]
+    # chained form (multi-arg xxhash64: each arg hashed with the running
+    # result as seed) — what the engine's band-bucket hash evaluates
+    dfc = spark.createDataFrame([(s, 3) for s in strs], "s string, b long")
+    for r in dfc.select("s", F.xxhash64("s", "b").alias("h")).collect():
+        exp = xxh64((3).to_bytes(8, "little"), seed=xxh64_str(r["s"]) & ((1 << 64) - 1))
+        assert r["h"] == exp, repr(r["s"])
+
+
+def test_minhash_xx_oracle_twin_matches_engine(spark):
+    """The Spark-free xx-mode MinHash twin (pure-Python XXH64 + numpy
+    signatures + slice banding) must reproduce the engine's candidate set
+    AND values exactly — this is the independence argument behind the
+    dedup_minhash_lsh_xx driver oracle."""
+    import pandas as pd
+
+    from bifrost_spark.functions.cache import release_caches
+    from bifrost_spark.functions.dedup import minhash_lsh_candidates
+    from bifrost_spark.oracle_dedup import minhash_lsh_candidates_xx_oracle
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    eng = (
+        minhash_lsh_candidates(spark.read.parquet(docs_path), text_col="text",
+                               id_col="doc_id", hash_fn="xxhash64", seed=1)
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    release_caches()
+    twin = (
+        minhash_lsh_candidates_xx_oracle(pd.read_parquet(docs_path))
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert len(eng) == len(twin) and len(eng) > 0
+    assert eng[["doc_a", "doc_b"]].astype("int64").equals(twin[["doc_a", "doc_b"]])
+    assert (eng["est_jaccard"] == twin["est_jaccard"]).all()
+    assert (eng["jaccard"] == twin["jaccard"]).all()

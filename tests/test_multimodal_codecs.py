@@ -154,3 +154,53 @@ def test_corrupt_and_null_payloads_survive(spark):
     # decoder traceback deep inside numpy
     with pytest.raises(Exception, match="NotImplementedError|no dependency-free codec"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_png_roundtrip_all_filters_and_hostile_input():
+    """Stdlib-only PNG codec (round-4): every scanline filter type must
+    round-trip both grayscale and RGB rasters; CRC corruption and chunk
+    truncation raise ValueError (not a decoder traceback) so the corrupt-
+    payload fallback in extract_features catches them."""
+    from bifrost_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for ft in range(5):
+        a = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(a, ft)), a), f"rgb ft={ft}"
+        g = rng.randint(0, 256, (9, 21)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(g, ft)), g), f"gray ft={ft}"
+    data = bytearray(encode_png(a, 4))
+    data[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(encode_png(a)[:30])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 40)
+    # 16-bit / palette variants rejected explicitly, not mis-decoded
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+           + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bad + _s.pack(">I", 0) + b"IDAT" + _s.pack(">I", _z.crc32(b"IDAT") & 0xFFFFFFFF))
+
+
+def test_png_in_codec_media_pipeline(spark):
+    """synthesize_codec_media now emits real PNG payloads (sel==2 cycle);
+    the decode_stub=False pipeline must really decode them and report the
+    parsed width/height in f0/f1."""
+    from bifrost_spark.functions.multimodal import synthesize_codec_media
+
+    media = synthesize_codec_media(spark, n=48, seed=7)
+    pngs = media.filter(media.mime == "image/png")
+    n_png = pngs.count()
+    assert n_png > 0
+    feats = extract_features(pngs, decode_stub=False).collect()
+    meta = {r["media_id"]: r for r in pngs.select("media_id", "width", "height").collect()}
+    assert len(feats) == n_png
+    for r in feats:
+        assert r["feature"][0] == float(meta[r["media_id"]]["width"])
+        assert r["feature"][1] == float(meta[r["media_id"]]["height"])
