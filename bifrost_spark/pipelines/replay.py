@@ -124,6 +124,7 @@ class ReplayEngine:
                 ("ddl", d) for d in hints.get("ddls", [])
             ]
             items.sort(key=lambda t: t[1]["lo"] if t[0] == "seg" else t[1]["event_id"])
+            items = self._fold_ddl_barriers(items)
             results: list[dict] = []
             for kind, item in items:
                 if kind == "seg":
@@ -139,6 +140,7 @@ class ReplayEngine:
                     results.append(self.table.apply_ddl(
                         item["query"], batch_id=f"ddl:{item['event_id']}",
                         event_id=item["event_id"], range_exclusive=self.ordered,
+                        defer_lwm=(kind == "ddl_deferred"),
                     ))
             return results
         # Scan path (no source hints — the streaming file stream, an external
@@ -191,6 +193,73 @@ class ReplayEngine:
             return results
         finally:
             events.unpersist()
+
+    def _fold_ddl_barriers(self, items: list[tuple[str, dict]]) -> list[tuple[str, dict]]:
+        """Collapse the [tiny pre-DDL remainder segment, schema-evolution
+        DDL, next segment] pattern into [deferred DDL, one merged segment].
+
+        A chunk boundary rarely coincides with a DDL, so a DDL mid-chunk
+        leaves a remainder segment on its left — often a handful of events
+        (the bench shape: ONE event) — that would otherwise pay a full merge
+        commit cycle (~0.3-0.6 s of fixed driver/job cost at local[32]) for
+        almost no data.  For schema-evolution DDLs whose semantics commute
+        with the align-on-read registry (ADD/DROP/MODIFY COLUMN — a pre-DDL
+        row merged under the NEW schema version null-pads / drops / casts to
+        exactly the state sequential apply reaches), the barrier is not
+        needed for correctness: apply the DDL first (metadata-only, with the
+        high-water mark DEFERRED so a crash-resume cannot mark the pre-DDL
+        events stale — see TargetTable.apply_ddl), then merge both segments
+        as one.  Renames (CHANGE COLUMN) and table-level DDL
+        (TRUNCATE/DROP/CREATE/RENAME) keep the strict barrier: their effect
+        does not commute with ops ordered before them.
+
+        BIFROST_DDL_FOLD_MAX (events; default 65536, 0 disables) bounds the
+        folded remainder so large pre-DDL segments keep the conservative
+        barrier behavior."""
+        try:
+            fold_max = int(os.environ.get("BIFROST_DDL_FOLD_MAX", "65536"))
+        except ValueError:
+            fold_max = 65536
+        if fold_max <= 0 or len(items) < 3:
+            return items
+        from bifrost_spark.ddl import classify_query
+
+        safe_kinds = {"add_column", "drop_column", "modify_column"}
+
+        def evolution_safe(query: str) -> bool:
+            op = classify_query(query)
+            if not op.is_ddl:
+                return False
+            kinds = [s.kind for s in op.sections] if op.kind == "alter_multi" else [op.kind]
+            return bool(kinds) and all(k in safe_kinds for k in kinds)
+
+        out = list(items)
+        i = 0
+        while i + 2 < len(out):
+            a_kind, a = out[i]
+            d_kind, d = out[i + 1]
+            b_kind, b = out[i + 2]
+            if (
+                a_kind == "seg" and d_kind == "ddl" and b_kind == "seg"
+                and a["n_data"] <= fold_max
+                and evolution_safe(d["query"])
+            ):
+                merged = {
+                    "lo": a["lo"], "hi": b["hi"],
+                    "n_data": a["n_data"] + b["n_data"],
+                    "keys_est": (a["keys_est"] + b["keys_est"])
+                    if a.get("keys_est") is not None and b.get("keys_est") is not None
+                    else None,
+                    "gtid_first": a.get("gtid_first"),
+                    "gtid_last": b.get("gtid_last"),
+                }
+                out[i : i + 3] = [("ddl_deferred", d), ("seg", merged)]
+                # re-examine from the merged segment: it may precede another
+                # foldable DDL (but usually exceeds fold_max by now)
+                i += 1
+            else:
+                i += 1
+        return out
 
     def _merge_segment(self, seg: DataFrame, n: int | None = None,
                        lo: int | None = None, hi: int | None = None,
