@@ -1257,6 +1257,29 @@ def q_m5_redis_kv(spark, sf_dir):
     )
 
 
+def q_m5_es_bulk(spark, sf_dir):
+    """M5 document-store family: the Elasticsearch bulk-op emitter — one
+    doc_as_upsert per insert/update at the PK-derived doc id (after image),
+    one bulk delete per delete at the before image's id, index name through
+    the F14 template.  The oracle recomputes every action row including the
+    exact doc_json Spark's to_json emits (null fields dropped, JSON-escaped
+    content).  Ref: /root/reference/plugin/Elasticsearch/src/sync.go:16-121,
+    es.go:261-417."""
+    from bifrost_spark.sinks.documents import es_bulk_ops
+
+    return es_bulk_ops(_derived_cdc_events(spark, sf_dir))
+
+
+def q_m5_mongo_ops(spark, sf_dir):
+    """M5 document-store family: the MongoDB point-op emitter —
+    Upsert(filter=PKs-from-after, doc=after) per insert/update,
+    Remove(filter=PKs-from-before) per delete, db/collection through the
+    F14 template.  Ref: /root/reference/plugin/MongoDB/src/mongodb.go:170-260."""
+    from bifrost_spark.sinks.documents import mongo_ops
+
+    return mongo_ops(_derived_cdc_events(spark, sf_dir))
+
+
 def q_m9_dead_letter(spark, sf_dir):
     """M9 in the hard signal: a poison middle batch is retried, quarantined
     to the dead-letter store, the stream PROCEEDS past it, redelivery of the
@@ -1786,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_e2e": q_cdc_replay_e2e,
         "m9_dead_letter": q_m9_dead_letter,
         "m5_redis_kv": q_m5_redis_kv,
+        "m5_es_bulk": q_m5_es_bulk,
+        "m5_mongo_ops": q_m5_mongo_ops,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
@@ -2062,6 +2087,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'error' THEN NULL
                         ELSE event_type || '|' || COALESCE(props, '') END AS value,
                    3600 AS expire_s,
+                   event_id * 2 + 2 AS event_id
+            FROM events
+        """,
+        # doc_json must equal Spark's to_json(after) byte-for-byte: struct
+        # field order (repo,path,commit,lang,content,extra), null fields
+        # DROPPED (lang/extra are always null in the derived stream), and
+        # the props payload JSON-escaped (it contains quotes).
+        "m5_es_bulk": """
+            SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS action,
+                   'code.repos' AS index,
+                   'r' || CAST(user_id % 20 AS VARCHAR) || chr(1) || 'p' || CAST(user_id AS VARCHAR) AS doc_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE '{"repo":"r' || CAST(user_id % 20 AS VARCHAR)
+                             || '","path":"p' || CAST(user_id AS VARCHAR)
+                             || '","commit":"' || event_type
+                             || '","content":"' || replace(replace(props, '\\', '\\\\'), '"', '\\"') || '"}'
+                   END AS doc_json,
+                   event_id * 2 + 2 AS event_id,
+                   1 AS seq
+            FROM events
+        """,
+        "m5_mongo_ops": """
+            SELECT CASE WHEN event_type = 'error' THEN 'remove' ELSE 'upsert' END AS op,
+                   'code' AS db,
+                   'repos' AS collection,
+                   '{"repo":"r' || CAST(user_id % 20 AS VARCHAR)
+                     || '","path":"p' || CAST(user_id AS VARCHAR) || '"}' AS filter_json,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE '{"repo":"r' || CAST(user_id % 20 AS VARCHAR)
+                             || '","path":"p' || CAST(user_id AS VARCHAR)
+                             || '","commit":"' || event_type
+                             || '","content":"' || replace(replace(props, '\\', '\\\\'), '"', '\\"') || '"}'
+                   END AS doc_json,
                    event_id * 2 + 2 AS event_id
             FROM events
         """,
