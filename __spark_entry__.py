@@ -1257,6 +1257,42 @@ def q_m5_redis_kv(spark, sf_dir):
     )
 
 
+def q_cdc_changes_between(spark, sf_dir):
+    """Incremental changelog read (CDC *read* side): replay the derived
+    stream in two halves against a real TargetTable, snapshot between them,
+    then ask the table what changed since that snapshot
+    (operators/changes.py — scan + pushed-down last_event_id filter +
+    bucket prune, no join).  The oracle recomputes the same answer from the
+    stream definition alone: the per-key LWW winner, kept iff it lies in
+    the second half.  Lake-side analogue of the reference re-publishing
+    applied changes (/root/reference/plugin/kafka/src/kafka.go), answerable
+    retroactively for any retained snapshot pair."""
+    import shutil
+    import tempfile
+
+    from bifrost_spark.operators.changes import table_changes
+    from bifrost_spark.operators.merge import TargetTable
+    from bifrost_spark.pipelines.replay import ReplayEngine
+
+    base = _derived_cdc_events(spark, sf_dir)
+    split = _ev(spark, sf_dir).agg(F.max("event_id")).collect()[0][0] // 2
+    work = tempfile.mkdtemp(prefix="bifrost_changes_")
+    try:
+        table = TargetTable.create(spark, os.path.join(work, "tbl"), n_buckets=8)
+        engine = ReplayEngine(table)
+        engine.apply_batch(base.filter(F.col("event_id") <= 2 * split + 2))
+        mid_snap = table.state["snapshot"]
+        engine.apply_batch(base.filter(F.col("event_id") > 2 * split + 2))
+        out = table_changes(spark, table.path, from_snapshot=mid_snap).select(
+            "change_type", "repo", "path", "commit", "content", "last_event_id"
+        )
+        out = out.persist()
+        out.count()  # materialize before the workdir is removed
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_m5_es_bulk(spark, sf_dir):
     """M5 document-store family: the Elasticsearch bulk-op emitter — one
     doc_as_upsert per insert/update at the PK-derived doc id (after image),
@@ -1522,6 +1558,53 @@ def q_doc_pipeline(spark, sf_dir):
             F.min("distinct_ratio").alias("min_distinct_ratio"),
             F.max("distinct_ratio").alias("max_distinct_ratio"),
         )
+    )
+
+
+def q_doc_pipeline_v2(spark, sf_dir):
+    """doc_pipeline with the round-3 quality stages folded in — the full
+    training-data preparation chain: language-ID → Gopher repetition gates
+    (distinct-token ratio, top-token fraction, duplicate-bigram fraction)
+    → benchmark decontamination scrub (5-token window collision vs the
+    derived doc_id%97 benchmark set) → exact dedup keep-one → per-class
+    corpus stats.  The repetition features ride the scan as a pure
+    projection (``keep=`` passthrough, no self-join); decontamination is
+    the one doc_id-keyed join (its counts aggregate map-side against a
+    broadcast benchmark); dedup + final rollup are the only other
+    shuffles."""
+    from bifrost_spark.functions.decontam import decontaminate
+    from bifrost_spark.functions.text import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    rep = repetition_features(docs, keep=["text"])
+    toks = F.split(F.col("text"), " ")
+    score_data = F.size(F.filter(toks, lambda t: t.isin("data", "table", "row", "column")))
+    score_flow = F.size(F.filter(toks, lambda t: t.isin("stream", "batch", "window", "merge")))
+    pred = (
+        F.when(score_data > score_flow, F.lit("datalike"))
+        .when(score_flow > score_data, F.lit("flowlike"))
+        .otherwise(F.lit("mixed"))
+    )
+    decon = decontaminate(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=5, hash_fn="none"
+    ).select("doc_id", "is_contaminated")
+    gated = (
+        rep.withColumn("pred_class", pred)
+        .join(decon, "doc_id")
+        .filter(
+            (F.col("distinct_token_ratio") >= 0.4) & (F.col("n_tokens") >= 20)
+            & (F.col("top_token_fraction") <= 0.3)
+            & (F.col("dup_bigram_fraction") <= 0.2)
+            & ~F.col("is_contaminated")
+        )
+    )
+    keep = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return kept.groupBy("pred_class").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("distinct_token_ratio").alias("min_distinct_ratio"),
+        F.max("distinct_token_ratio").alias("max_distinct_ratio"),
     )
 
 
@@ -1807,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "cdc_replay_e2e": q_cdc_replay_e2e,
+        "cdc_changes_between": q_cdc_changes_between,
         "m9_dead_letter": q_m9_dead_letter,
         "m5_redis_kv": q_m5_redis_kv,
         "m5_es_bulk": q_m5_es_bulk,
@@ -1823,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "doc_pipeline": q_doc_pipeline,
+        "doc_pipeline_v2": q_doc_pipeline_v2,
         "s6_canal_roundtrip": q_s6_canal_roundtrip,
         "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
         "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
@@ -2090,6 +2175,25 @@ def oracle_sql() -> dict[str, str]:
                    event_id * 2 + 2 AS event_id
             FROM events
         """,
+        # changelog = per-key LWW winner, kept iff it lies in the second
+        # half of the stream (the from-snapshot's high-water mark); a delete
+        # winner is the retained tombstone (nulls + winning event id)
+        "cdc_changes_between": """
+            WITH w AS (
+                SELECT user_id, event_type, props, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+                   'r' || CAST(user_id % 20 AS VARCHAR) AS repo,
+                   'p' || CAST(user_id AS VARCHAR) AS path,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS commit,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
+                   event_id * 2 + 2 AS last_event_id
+            FROM w
+            WHERE rn = 1
+              AND event_id > (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) FROM events)
+        """,
         # doc_json must equal Spark's to_json(after) byte-for-byte: struct
         # field order (repo,path,commit,lang,content,extra), null fields
         # DROPPED (lang/extra are always null in the derived stream), and
@@ -2305,6 +2409,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    min(distinct_ratio) AS min_distinct_ratio,
                    max(distinct_ratio) AS max_distinct_ratio
+            FROM kept GROUP BY pred_class
+        """,
+        # v2 = v1 + the Gopher repetition gates + the decontamination scrub,
+        # all recomputed: ascii tokens ([^a-z0-9]+) for the features/windows,
+        # space tokens for the class scorer (matching the Spark stages)
+        "doc_pipeline_v2": """
+            WITH tk AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text, toks, len(toks) AS n,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bgs
+              FROM tk
+            ), tok_stats AS (
+              SELECT doc_id, max(c) AS top_tok, count(*) AS distinct_tok
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2)
+              GROUP BY 1
+            ), big_stats AS (
+              SELECT doc_id, max(c) AS top_big, count(*) AS distinct_big
+              FROM (SELECT doc_id, bg, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY 1, 2)
+              GROUP BY 1
+            ), feats AS (
+              SELECT b.doc_id, b.text, b.n AS n_tokens,
+                     round(CASE WHEN b.n > 0 THEN CAST(t.distinct_tok AS DOUBLE) / b.n ELSE 0 END, 6) AS distinct_token_ratio,
+                     round(CASE WHEN b.n > 0 THEN CAST(t.top_tok AS DOUBLE) / b.n ELSE 0 END, 6) AS top_token_fraction,
+                     round(CASE WHEN len(b.bgs) > 0 THEN CAST(len(b.bgs) - g.distinct_big AS DOUBLE) / len(b.bgs) ELSE 0 END, 6) AS dup_bigram_fraction
+              FROM base b
+              LEFT JOIN tok_stats t USING (doc_id)
+              LEFT JOIN big_stats g USING (doc_id)
+            ), win AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 5
+                       THEN list_transform(generate_series(1, len(toks) - 4),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+                       ELSE CAST([] AS VARCHAR[]) END) AS ws
+              FROM tk
+            ), bench AS (
+              SELECT DISTINCT unnest(ws) AS g FROM win WHERE doc_id % 97 = 0
+            ), contam AS (
+              SELECT e.doc_id, count(b.g) > 0 AS is_contaminated
+              FROM (SELECT doc_id, unnest(ws) AS g FROM win) e
+              LEFT JOIN bench b ON e.g = b.g
+              GROUP BY 1
+            ), pc AS (
+              SELECT doc_id,
+                     CASE WHEN sd > sf THEN 'datalike'
+                          WHEN sf > sd THEN 'flowlike'
+                          ELSE 'mixed' END AS pred_class
+              FROM (SELECT doc_id,
+                           len(list_filter(string_split(text, ' '),
+                               t -> t IN ('data','table','row','column'))) AS sd,
+                           len(list_filter(string_split(text, ' '),
+                               t -> t IN ('stream','batch','window','merge'))) AS sf
+                    FROM documents)
+            ), gated AS (
+              SELECT f.doc_id, f.text, f.n_tokens, f.distinct_token_ratio, p.pred_class
+              FROM feats f
+              JOIN pc p USING (doc_id)
+              LEFT JOIN contam c USING (doc_id)
+              WHERE f.distinct_token_ratio >= 0.4 AND f.n_tokens >= 20
+                AND f.top_token_fraction <= 0.3 AND f.dup_bigram_fraction <= 0.2
+                AND NOT COALESCE(c.is_contaminated, FALSE)
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+            ), kept AS (
+              SELECT g.* FROM gated g JOIN keep k USING (doc_id)
+            )
+            SELECT pred_class,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(distinct_token_ratio) AS min_distinct_ratio,
+                   max(distinct_token_ratio) AS max_distinct_ratio
             FROM kept GROUP BY pred_class
         """,
         "s6_canal_roundtrip": """

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "text_quality",
     "doc_pipeline",
+    "doc_pipeline_v2",
     "f8_fanout",
 ]
 # dedup_simhash is oracle-checked (CORRECTNESS) but not benched: the

@@ -118,6 +118,17 @@ def main(argv: list[str] | None = None) -> int:
     sn = sub.add_parser("snapshots")
     sn.add_argument("--table", required=True)
 
+    ch = sub.add_parser("changes",
+                        help="incremental changelog between two snapshots")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", required=True, dest="from_snapshot")
+    ch.add_argument("--to-snapshot", default=None, dest="to_snapshot",
+                    help="default: CURRENT")
+    ch.add_argument("--out", default=None,
+                    help="write the changelog as parquet instead of counting")
+    ch.add_argument("--pre-images", action="store_true",
+                    help="classify insert/update/delete and attach before images")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"bifrost-{args.cmd}", master=args.master)
     from bifrost_spark.operators.merge import TargetTable
@@ -174,6 +185,21 @@ def main(argv: list[str] | None = None) -> int:
         out = TargetTable(spark, args.table).vacuum()
     elif args.cmd == "snapshots":
         out = {"snapshots": TargetTable(spark, args.table).snapshots()}
+    elif args.cmd == "changes":
+        from bifrost_spark.operators.changes import table_changes
+
+        df = table_changes(spark, args.table, from_snapshot=args.from_snapshot,
+                           to_snapshot=args.to_snapshot,
+                           with_pre_images=args.pre_images)
+        out = {"from": args.from_snapshot, "to": args.to_snapshot or "CURRENT"}
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            out["out"] = args.out
+        from pyspark.sql import functions as F
+
+        by_type = {r["change_type"]: r["n"] for r in
+                   df.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+        out["changes"] = by_type
     else:  # status
         table = TargetTable(spark, args.table, at_snapshot=args.at_snapshot)
         out = {

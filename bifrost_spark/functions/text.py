@@ -160,7 +160,8 @@ def _max_run(sorted_arr: Column) -> Column:
 
 
 def repetition_features(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        keep: list[str] | None = None) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 — the
     'repetitious documents' filters, adapted to line-less text): per doc,
 
@@ -188,4 +189,7 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         F.round(safe(_max_run(F.sort_array(toks)), n), 6).alias("top_token_fraction"),
         F.round(safe(nb - F.size(F.array_distinct(bigrams)), nb), 6).alias("dup_bigram_fraction"),
         F.round(safe(_max_run(F.sort_array(bigrams)), nb), 6).alias("top_bigram_fraction"),
+        # passthrough columns (``keep``) let composite pipelines gate on the
+        # features without a doc_id self-join — still one pure projection
+        *[F.col(c) for c in (keep or [])],
     )

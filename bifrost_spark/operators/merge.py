@@ -987,6 +987,10 @@ class TargetTable:
         st["snapshot"] = snap
         st["buckets"] = {str(b): snap for b in written}
         st["schemas"] = {snap: keep.schema.jsonValue()}
+        # high-water purge mark: changelog reads (operators/changes.py) from
+        # a snapshot older than this would silently miss purged deletes, so
+        # the manifest carries it forward for them to refuse on
+        st["tombstone_lwm"] = max(st.get("tombstone_lwm", -1), lwm)
         self._record_applied(st, {"batch_id": f"compact:{snap}", "kind": "compact", "n_ops": 0,
                                   "tombstone_lwm": lwm, "committed_at": time.time()})
         self._write_snapshot(self._fs, self.path, st)

@@ -106,6 +106,12 @@ def test_cli_end_to_end(spark, tmp_path):
     assert cli.main(["generate", "--out", log, "--chunks", "2", "--files-per-chunk", "2", *gen]) == 0
     assert cli.main(["bootstrap", "--table", tbl, "--n-buckets", "4", *gen]) == 0
     assert cli.main(["replay", "--log", log, "--table", tbl]) == 0
+    first_replayed = TargetTable(spark, tbl).state["snapshot"]
+    assert cli.main(["changes", "--table", tbl, "--from-snapshot", "v00000001",
+                     "--out", str(tmp_path / "chg")]) == 0
+    assert spark.read.parquet(str(tmp_path / "chg")).count() > 0
+    assert cli.main(["changes", "--table", tbl,
+                     "--from-snapshot", first_replayed, "--pre-images"]) == 0
     assert cli.main(["compact", "--table", tbl]) == 0
     assert cli.main(["vacuum", "--table", tbl]) == 0
     assert cli.main(["status", "--table", tbl]) == 0
