@@ -1567,12 +1567,24 @@ def q_doc_pipeline_v2(spark, sf_dir):
     (distinct-token ratio, top-token fraction, duplicate-bigram fraction)
     → benchmark decontamination scrub (5-token window collision vs the
     derived doc_id%97 benchmark set) → exact dedup keep-one → per-class
-    corpus stats.  The repetition features ride the scan as a pure
-    projection (``keep=`` passthrough, no self-join); decontamination is
-    the one doc_id-keyed join (its counts aggregate map-side against a
-    broadcast benchmark); dedup + final rollup are the only other
-    shuffles."""
-    from bifrost_spark.functions.decontam import decontaminate
+    corpus stats.  Scale shape: every text-derived feature (repetition
+    gates, class scores, the md5 dedup key) is computed in ONE projection
+    riding the scan; the md5 dedup window sits BETWEEN that projection and
+    the gate filter, which (a) makes exact dedup a single pass with no
+    self-join and (b) pins single evaluation — predicates on non-partition
+    columns cannot be pushed below a Window, so Catalyst cannot inline the
+    expensive feature expressions into the filter (a pushed-down gate
+    re-evaluates tokenization ~9×: measured 16 s vs 1.8 s at sf0.1).
+    Gate-before-window and window-before-gate are equivalent here because
+    every gate is a pure function of the text, hence constant within an
+    md5(text) group.  Decontamination is a left-ANTI join against the
+    sparse contaminated-id set (``contaminated_ids`` — corpus explodes +
+    probes a broadcast benchmark gram set, only the HITS are ever
+    shuffled, and AQE broadcasts the anti side); text itself is dropped
+    before the window shuffle, which carries only scalar features."""
+    from pyspark.sql.window import Window
+
+    from bifrost_spark.functions.decontam import contaminated_ids
     from bifrost_spark.functions.text import repetition_features
 
     docs = _docs(spark, sf_dir)
@@ -1585,21 +1597,25 @@ def q_doc_pipeline_v2(spark, sf_dir):
         .when(score_flow > score_data, F.lit("flowlike"))
         .otherwise(F.lit("mixed"))
     )
-    decon = decontaminate(
+    contam = contaminated_ids(
         docs, docs.filter(F.col("doc_id") % 97 == 0), n=5, hash_fn="none"
-    ).select("doc_id", "is_contaminated")
-    gated = (
+    )
+    feats = (
         rep.withColumn("pred_class", pred)
-        .join(decon, "doc_id")
+        .withColumn("h", F.md5("text"))
+        .drop("text")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = (
+        feats.withColumn("rn", F.row_number().over(w))
         .filter(
-            (F.col("distinct_token_ratio") >= 0.4) & (F.col("n_tokens") >= 20)
+            (F.col("rn") == 1)
+            & (F.col("distinct_token_ratio") >= 0.4) & (F.col("n_tokens") >= 20)
             & (F.col("top_token_fraction") <= 0.3)
             & (F.col("dup_bigram_fraction") <= 0.2)
-            & ~F.col("is_contaminated")
         )
+        .join(contam, "doc_id", "left_anti")
     )
-    keep = gated.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    kept = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
     return kept.groupBy("pred_class").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),

@@ -84,3 +84,42 @@ def decontaminate(
         F.round(ratio, 6).alias("contamination_ratio"),
         (F.col("n_contaminated") > 0).alias("is_contaminated"),
     )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Just the (doc_id) set that collides with the benchmark — the shape a
+    scrub GATE wants (``decontaminate`` reports per-doc ratios, which costs
+    a corpus-wide doc_id aggregation).  Here the corpus never shuffles:
+    explode windows → broadcast LEFT SEMI probe against the benchmark gram
+    set → distinct over the HITS only (sparse by construction — benchmark
+    overlap is rare in a sane corpus), so the only exchange carries
+    contaminated ids, not documents.  Pipelines consume it as a left-anti
+    join, which AQE turns into a broadcast anti join when the hit set is
+    small."""
+    gram = _windows(F.col(text_col), n)
+    bgram = _windows(F.col(bench_text_col or text_col), n)
+    if hash_fn == "xxhash64":
+        key = lambda c: F.xxhash64(c)  # noqa: E731
+    elif hash_fn == "none":
+        key = lambda c: c  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'none', got {hash_fn!r}")
+    bench_set = (
+        benchmark.select(F.explode(bgram).alias("g")).select(key(F.col("g")).alias("bg")).distinct()
+    )
+    exploded = spread_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(gram).alias("g")
+    ).select("doc_id", key(F.col("g")).alias("gk"))
+    return (
+        exploded.join(F.broadcast(bench_set), exploded["gk"] == bench_set["bg"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )

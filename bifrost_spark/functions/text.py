@@ -159,9 +159,76 @@ def _max_run(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
+_REP_STRUCT = (
+    "n_tokens bigint, distinct_token_ratio double, top_token_fraction double,"
+    " dup_bigram_fraction double, top_bigram_fraction double"
+)
+_rep_feats_udf_cache: list = []
+
+
+def _rep_feats_arrow():
+    """Arrow-batched kernel computing all five repetition features in ONE
+    pass per document.  Tokenization (lower → split on ``[^a-z0-9]+`` →
+    drop empties) and every ratio are bit-identical to the expression twin
+    below: same IEEE-double division, counts from ``Counter`` equal the
+    sorted-array fold's mode count.  Rounding stays JVM-side (``F.round``)
+    so Spark↔oracle parity is unchanged.
+
+    Built lazily (not a module-level decorator): ``pandas_udf`` parses the
+    DDL return-type string through the active session's parser, so
+    decorating at import time would make ``import bifrost_spark`` require
+    a running SparkSession."""
+    if _rep_feats_udf_cache:
+        return _rep_feats_udf_cache[0]
+
+    def kernel(text: "pd.Series") -> "pd.DataFrame":
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        pat = re.compile(r"[^a-z0-9]+")
+        out = {k: [] for k in ("n_tokens", "distinct_token_ratio", "top_token_fraction",
+                               "dup_bigram_fraction", "top_bigram_fraction")}
+        for t in text:
+            if t is None:
+                # null text → n_tokens NULL, ratios 0.0 — matches the expr
+                # twin (size(split(NULL)) is NULL; the CASE arms fall to 0.0)
+                # and the DuckDB oracle (len(NULL) = NULL)
+                out["n_tokens"].append(None)
+                for k in ("distinct_token_ratio", "top_token_fraction",
+                          "dup_bigram_fraction", "top_bigram_fraction"):
+                    out[k].append(0.0)
+                continue
+            toks = [w for w in pat.split(t.lower()) if w]
+            n = len(toks)
+            if n:
+                c = Counter(toks)
+                dtr, ttf = len(c) / n, max(c.values()) / n
+            else:
+                dtr = ttf = 0.0
+            if n >= 2:
+                cb = Counter(zip(toks, toks[1:]))
+                nb = n - 1
+                dbf, tbf = (nb - len(cb)) / nb, max(cb.values()) / nb
+            else:
+                dbf = tbf = 0.0
+            out["n_tokens"].append(n)
+            out["distinct_token_ratio"].append(dtr)
+            out["top_token_fraction"].append(ttf)
+            out["dup_bigram_fraction"].append(dbf)
+            out["top_bigram_fraction"].append(tbf)
+        return pd.DataFrame(out)
+
+    udf = F.pandas_udf(_REP_STRUCT)(kernel)
+    _rep_feats_udf_cache.append(udf)
+    return udf
+
+
 def repetition_features(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        keep: list[str] | None = None) -> DataFrame:
+                        keep: list[str] | None = None,
+                        impl: str = "pandas") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 — the
     'repetitious documents' filters, adapted to line-less text): per doc,
 
@@ -171,8 +238,29 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     - ``dup_bigram_fraction``   (1 − distinct bigrams / bigrams)
     - ``top_bigram_fraction``
 
-    Entirely row-local array math (sort + fold, no explode/shuffle/UDF): a
-    100 TB corpus computes this in the scan stage."""
+    ``impl="pandas"`` (default) computes everything in one Arrow-batched
+    kernel: the higher-order-function twin (``impl="expr"``) is
+    CodegenFallback — Catalyst interprets it per row with NO common-
+    subexpression elimination, so tokenization re-evaluates once per
+    feature (~9× measured; 30 s → <1 s at sf0.1).  Both impls produce
+    bit-identical doubles (pinned by tests); the expr twin stays as the
+    engine-independent spec.  Either way this is a pure projection riding
+    the scan — no explode, no shuffle — so a 100 TB corpus computes it in
+    the scan stage."""
+    if impl == "pandas":
+        rf = _rep_feats_arrow()(F.col(text_col)).alias("_rf")
+        wide = docs.select(F.col(id_col).alias("doc_id"), rf, *[F.col(c) for c in (keep or [])])
+        return wide.select(
+            "doc_id",
+            F.col("_rf.n_tokens").alias("n_tokens"),
+            F.round("_rf.distinct_token_ratio", 6).alias("distinct_token_ratio"),
+            F.round("_rf.top_token_fraction", 6).alias("top_token_fraction"),
+            F.round("_rf.dup_bigram_fraction", 6).alias("dup_bigram_fraction"),
+            F.round("_rf.top_bigram_fraction", 6).alias("top_bigram_fraction"),
+            *[F.col(c) for c in (keep or [])],
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
     toks = _tokens_ascii(F.col(text_col))
     n = F.size(toks)
     bigrams = F.when(

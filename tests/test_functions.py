@@ -333,6 +333,59 @@ def test_repetition_features_planted(spark):
     assert out[4]["n_tokens"] == 0 and out[4]["top_token_fraction"] == 0.0
 
 
+def test_repetition_features_impl_parity(spark):
+    """The Arrow-batched kernel (production default) and the higher-order-
+    function expression twin (the engine-independent spec) must agree
+    BIT-EXACTLY — same tokenization, same IEEE division, same rounding —
+    on adversarial shapes: nulls, empties, unicode punctuation, single
+    token, heavy repetition."""
+    from bifrost_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, "x y x y x y x y"),
+            (4, ""),
+            (5, None),
+            (6, "ONE"),
+            (7, "Héllo,  wörld!! 123 hello WORLD 123"),
+            (8, "a" * 500 + " " + "b c " * 100),
+        ],
+        "doc_id long, text string",
+    )
+    a = repetition_features(df, impl="pandas")
+    b = repetition_features(df, impl="expr")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError):
+        repetition_features(df, impl="nope")
+
+
+def test_contaminated_ids_matches_decontaminate(spark):
+    """contaminated_ids (the sparse gate shape) must return exactly the
+    doc_ids decontaminate flags as is_contaminated, in both hash modes."""
+    from bifrost_spark.functions.decontam import contaminated_ids, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon more tail here"),
+            (2, "totally unrelated content with no benchmark overlap at all"),
+            (3, "alpha beta gamma"),
+            (4, "zz alpha beta gamma delta epsilon zeta yy"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("none", "xxhash64"):
+        want = {r["doc_id"] for r in decontaminate(docs, bench, n=5, hash_fn=mode)
+                .filter("is_contaminated").collect()}
+        got = {r["doc_id"] for r in contaminated_ids(docs, bench, n=5, hash_fn=mode).collect()}
+        assert got == want == {1, 4}
+    with pytest.raises(ValueError):
+        contaminated_ids(docs, bench, hash_fn="nope")
+
+
 def test_decontaminate_planted(spark):
     from bifrost_spark.functions.decontam import decontaminate
 

@@ -276,6 +276,29 @@ def main() -> int:
     ]
     sections.append(("C3 batch position audit — broadcast probes, partial min", p, checks))
 
+    # 10. doc_pipeline_v2: the composite LLM-data pipeline — feature kernel
+    # evaluated ONCE (the md5 Window pins it: predicates can't push below a
+    # window, so Catalyst can't inline the Arrow kernel into the gate and
+    # re-evaluate it per predicate), text dropped before the window
+    # shuffle, and the contamination scrub lands as a BROADCAST anti join
+    # (only contaminated ids ever reach the corpus side).
+    import __spark_entry__ as entry
+
+    v2 = entry.queries()["doc_pipeline_v2"](spark, "/root/testdata/sf0.001")
+    p = formatted(v2)
+    checks = [
+        ("repetition feature kernel runs exactly once (one ArrowEvalPython node)",
+         n_nodes(p, "ArrowEvalPython") == 1),
+        ("dedup window shuffle keyed on the md5 hash (text itself dropped)",
+         "hashpartitioning(h" in p),
+        ("contamination scrub is a broadcast LEFT ANTI join (ids, not docs, move)",
+         "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("exactly three scans: feature pass, contamination corpus probe, "
+         "benchmark derivation — no extra re-read of the corpus",
+         n_nodes(p, "Scan parquet") == 3),
+    ]
+    sections.append(("doc_pipeline_v2 — single feature eval, narrow window shuffle, broadcast anti scrub", p, checks))
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by tools/plan_audit.py (also a regression gate: each check",
