@@ -98,20 +98,37 @@ def _quantized_bit(proj: Column) -> Column:
     return F.when(F.round(proj, 6) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
 
-def lsh_signatures_expr(vec: Column, planes) -> Column:
+def lsh_signatures_expr(vec: str, planes) -> Column:
     """Signatures for every table as array<long> — literal-expression path.
-    Builds n_tables × n_planes × dim literal nodes: fine at sandbox dims,
-    but at dim 768 this is ~10^4 Catalyst expressions — use the pandas path
-    (``lsh_signatures_pandas``) there; both produce identical signatures."""
+    ``vec`` is the NAME of an array<double> column.
+
+    Built as ONE SQL string parsed by F.expr, not nested Column ops: the
+    arithmetic is pure Python string work + a single Py4J call, where the
+    Column-op formulation cost ~n_tables×n_planes×dim Py4J round-trips to
+    BUILD (~1 s of driver time at 1024 nodes, paid per call).  The dot
+    products stay in the ``aggregate(zip_with(...))`` higher-order form —
+    CodegenFallback, deliberately: an equivalent flat ``v[0]*c0 + …`` sum
+    was tried and EXCEEDS janino's method-size limit at dim 64 × 16 planes
+    (whole-stage codegen fails to compile, Spark retries then interprets —
+    strictly slower than never entering codegen).  Parity with the pandas
+    path is exact (pinned by tests): same fold-left IEEE addition from a
+    0.0 seed, float literals emitted with repr (shortest round-trip form)
+    and a D suffix, bit = IF(round(dot,6) >= 0, 1L, 0L) — IF on a NULL
+    condition takes the else branch like the CASE WHEN twin.  Above
+    AUTO_EXPR_MAX_NODES use ``lsh_signatures_pandas``; identical output."""
+    if not isinstance(vec, str):
+        raise TypeError("lsh_signatures_expr takes a column NAME (str)")
     n_tables, n_planes, dim = planes.shape
-    sigs = []
+    tables = []
     for t in range(n_tables):
-        sig = F.lit(0).cast("long")
+        bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-            sig = sig.bitwiseXOR(F.shiftleft(_quantized_bit(_dot(vec, plane)), p))
-        sigs.append(sig)
-    return F.array(*sigs)
+            arr = ", ".join(f"{float(x)!r}D" for x in planes[t, p])
+            dot = (f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+                   f"0.0D, (acc, x) -> acc + x)")
+            bits.append(f"shiftleft(IF(round({dot}, 6) >= 0, 1L, 0L), {p})")
+        tables.append("(" + " ^ ".join(bits) + ")")
+    return F.expr("array(" + ", ".join(tables) + ")")
 
 
 # Auto mode picks the literal path while the plan stays below this many
@@ -131,7 +148,7 @@ def _pick_signature_impl(signature_impl: str, planes) -> str:
     return "expr" if n_tables * n_planes * dim <= AUTO_EXPR_MAX_NODES else "pandas"
 
 
-def lsh_signatures_pandas(vec: Column, planes) -> Column:
+def lsh_signatures_pandas(vec: "str | Column", planes) -> Column:
     """Signatures for every table as array<long> — Arrow-batched numpy
     matmul.  One (batch × dim) @ (dim × tables·planes) product per Arrow
     batch regardless of dim, so the plan stays O(1) expressions at dim 768+
@@ -157,7 +174,7 @@ def lsh_signatures_pandas(vec: Column, planes) -> Column:
     # would stringify inline hints, which pandas_udf cannot introspect
     sig_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     sig_udf = pandas_udf(sig_fn, ArrayType(LongType()))
-    return sig_udf(vec)
+    return sig_udf(F.col(vec) if isinstance(vec, str) else vec)
 
 
 def embedding_near_dup_pairs(
@@ -184,7 +201,7 @@ def embedding_near_dup_pairs(
               else lsh_signatures_expr)
     c = register_cache(spread_for_compute(corpus).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")))
-    b = c.select("id", F.posexplode(sig_fn(F.col("v"), planes)).alias("tbl", "sig"))
+    b = c.select("id", F.posexplode(sig_fn("v", planes)).alias("tbl", "sig"))
     pairs = (
         b.alias("a").join(
             b.alias("b"),
@@ -373,10 +390,10 @@ def lsh_bucketed_topk(
     # otherwise drag through a SortAggregate per pair).  Vectors are fetched
     # after, for candidate pairs only.
     c_b = c.select(
-        "neighbor_id", F.posexplode(sig_fn(F.col("cv"), planes)).alias("tbl", "sig")
+        "neighbor_id", F.posexplode(sig_fn("cv", planes)).alias("tbl", "sig")
     )
     q_b = q.select(
-        query_id_col, F.posexplode(sig_fn(F.col("qv"), planes)).alias("tbl", "sig")
+        query_id_col, F.posexplode(sig_fn("qv", planes)).alias("tbl", "sig")
     )
 
     pairs = (
