@@ -1427,6 +1427,44 @@ def q_text_repetition(spark, sf_dir):
     return repetition_features(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (C4/Dolma-style regex family): per-doc email/IPv4/phone
+    hit counts + redacted text, one JVM regex projection riding the scan —
+    no shuffle, no UDF.  The synthetic corpus carries no PII, so the input
+    is deterministically AUGMENTED with planted emails (doc_id%3), IPv4s
+    (doc_id%5) and phone numbers (doc_id%7) — the identical concat runs in
+    the DuckDB oracle, which then re-counts with regexp_extract_all and
+    re-redacts with regexp_replace; redaction parity is pinned by
+    md5(text_redacted).  Patterns live in functions/pii.PII_PATTERNS,
+    written in the Java-regex ∩ RE2 common subset."""
+    from bifrost_spark.functions.pii import scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    out = scrub(docs.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 5-token
     window with the (derived) benchmark set — the GPT-3-style n-gram
@@ -1915,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
@@ -2347,6 +2386,35 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN tok_stats t USING (doc_id)
             LEFT JOIN big_stats g USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\+\d{1,3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
+                   (len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                    + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+                    + len(regexp_extract_all(t, '\+\d{1,3}[-. ]\d{3}[-. ]\d{4}'))) > 0 AS has_pii,
+                   md5(regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                         '\+\d{1,3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')) AS redacted_md5
+            FROM aug
         """,
         "decontaminate": """
             WITH tk AS (

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "text_quality",
+    "pii_scrub",
     "doc_pipeline",
     "doc_pipeline_v2",
     "f8_fanout",

@@ -386,6 +386,63 @@ def test_contaminated_ids_matches_decontaminate(spark):
         contaminated_ids(docs, bench, hash_fn="nope")
 
 
+def test_pii_scrub_planted(spark):
+    """PII regex family on planted positives + adversarial negatives; the
+    fused scrub() must agree with the split pii_signals/redact_pii pair."""
+    from bifrost_spark.functions.pii import pii_signals, redact_pii, scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or at work"),
+            (2, "server 192.168.1.254 and 10.0.0.1 are up"),
+            (3, "call +1-555-0199 or +44-207-9460"),
+            (4, "a@b is not an email, 1.2.3 is not an ip, 555-0199 no cc"),
+            (5, "v1.2.3.4 is NOT matched: no \\b between 'v' and '1'"),
+            (6, ""),
+            (7, "two mails x@y.io y@z.dev one ip 8.8.8.8 one tel +9-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert (sig[1]["n_email"], sig[1]["n_ipv4"], sig[1]["n_phone"]) == (1, 0, 0)
+    assert (sig[2]["n_email"], sig[2]["n_ipv4"]) == (0, 2)
+    assert sig[3]["n_phone"] == 2
+    assert not sig[4]["has_pii"]
+    assert sig[5]["n_ipv4"] == 0 and not sig[5]["has_pii"]  # semver-safe
+    assert not sig[6]["has_pii"]
+    assert (sig[7]["n_email"], sig[7]["n_ipv4"], sig[7]["n_phone"]) == (2, 1, 1)
+
+    red = {r["doc_id"]: r["text_redacted"] for r in redact_pii(df).collect()}
+    assert red[1] == "reach me at <EMAIL> or at work"
+    assert red[2] == "server <IP> and <IP> are up"
+    assert red[3] == "call <PHONE> or <PHONE>"
+    assert red[4] == df.collect()[3]["text"]  # negatives untouched
+    assert red[7] == "two mails <EMAIL> <EMAIL> one ip <IP> one tel <PHONE>"
+
+    fused = scrub(df).select("doc_id", "n_email", "n_ipv4", "n_phone",
+                             "has_pii", "text_redacted")
+    split = pii_signals(df).join(redact_pii(df), "doc_id")
+    assert fused.exceptAll(split).count() == 0 and split.exceptAll(fused).count() == 0
+
+
+def test_pii_scrub_no_shuffle_plan(spark):
+    """scrub() must stay a scan-stage projection — no Exchange, no UDF."""
+    import io
+    from contextlib import redirect_stdout
+
+    from bifrost_spark.functions.pii import scrub
+
+    df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scrub(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    # no Python in the row path (the scan line mentions Python only because
+    # the TEST input comes from createDataFrame)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_decontaminate_planted(spark):
     from bifrost_spark.functions.decontam import decontaminate
 
