@@ -65,17 +65,124 @@ def shingles(text_col: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+def _minhash_perm_coeffs(k: int, seed: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash coefficients — single source of truth
+    for the expression path, the Arrow kernel, and the DuckDB oracles."""
+    out = []
+    for i in range(k):
+        a = (seed * 1_000_003 + i * 92_821) % _MERSENNE or 1
+        b = (seed * 689_287 + i * 283_111) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+_minhash_poly_udf_cache: dict = {}
+
+
+def _minhash_poly_arrow(n_gram: int, k: int, seed: int):
+    """Arrow-batched kernel computing (sh, sig) for the POLY hash mode in
+    one pass — bit-identical to the expression twin (pinned by tests).
+
+    Why: the expression path folds ``(acc*31 + ascii(c)) mod p`` per gram
+    CHARACTER through interpreted higher-order functions (~2 s of the
+    bench entry's wall at sf0.1).  Here the whole Arrow batch's grams
+    concatenate into ONE byte array and the fold becomes Horner-by-powers:
+    ``H = Σ byte_j · (31^(L-1-j) mod p)  mod p`` via a single vectorized
+    multiply + ``np.add.reduceat`` — exact in int64 (byte·31^e mod p
+    < 2^38, gram sums < 2^58 for grams up to a million chars; mod is a
+    ring hom, so per-step and end-of-sum reduction agree).  Signatures are
+    one (k × grams) ``(a·x + b) mod p`` matrix min per doc (a, x < 2^31 →
+    products < 2^62).  xxhash64 mode stays on the JVM intrinsic — it was
+    never the bottleneck.
+
+    Null/edge parity with the expr twin (pinned by the parity test): NULL
+    text behaves like no grams — sh [] + sig = k NULLs (the expr path's
+    concat_ws over a NULL slice yields "" which the gram filter drops);
+    gram-hash dedup preserves FIRST-OCCURRENCE order like array_distinct
+    (pd.unique)."""
+    key = (n_gram, k, seed)
+    if key in _minhash_poly_udf_cache:
+        return _minhash_poly_udf_cache[key]
+
+    import numpy as np
+
+    coeffs = _minhash_perm_coeffs(k, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    P = np.int64(_MERSENNE)
+
+    def kernel(texts):
+        import re
+
+        import pandas as pd
+
+        pat = re.compile(r"[^a-z0-9]+")
+        max_pow = 4096  # > any realistic gram length; grown on demand
+        pow31 = np.ones(max_pow, dtype=np.int64)
+        for j in range(1, max_pow):
+            pow31[j] = (pow31[j - 1] * 31) % P
+
+        docs_grams: list = []  # per doc: list[str] | None
+        all_bytes: list[bytes] = []
+        lens: list[int] = []
+        for t in texts:
+            toks = [] if t is None else [w for w in pat.split(t.lower()) if w]
+            grams = [" ".join(toks[i:i + n_gram])
+                     for i in range(max(len(toks) - n_gram, 0) + 1)]
+            grams = [g for g in grams if g]
+            docs_grams.append(grams)
+            for g in grams:
+                gb = g.encode("ascii")  # tokens are [a-z0-9 ] by construction
+                all_bytes.append(gb)
+                lens.append(len(gb))
+
+        if lens:
+            L = np.array(lens, dtype=np.int64)
+            if int(L.max()) >= max_pow:
+                hi = int(L.max()) + 1
+                pw = np.ones(hi, dtype=np.int64)
+                for j in range(1, hi):
+                    pw[j] = (pw[j - 1] * 31) % P
+                pow31 = pw
+            flat = np.frombuffer(b"".join(all_bytes), dtype=np.uint8).astype(np.int64)
+            ends = np.cumsum(L)
+            starts = ends - L
+            # exponent at absolute position pos inside gram [s, e) = e-1-pos
+            pos = np.arange(flat.shape[0], dtype=np.int64)
+            exp = np.repeat(ends - 1, L) - pos
+            prod = flat * pow31[exp]
+            sums = np.add.reduceat(prod, starts) if flat.size else np.array([], dtype=np.int64)
+            gram_hashes = sums % P
+        else:
+            gram_hashes = np.array([], dtype=np.int64)
+
+        sh_out, sig_out = [], []
+        cursor = 0
+        for grams in docs_grams:
+            g = gram_hashes[cursor:cursor + len(grams)]
+            cursor += len(grams)
+            x = pd.unique(g)  # first-occurrence order, like array_distinct
+            sh_out.append([int(v) for v in x])
+            if x.size == 0:
+                sig_out.append([None] * k)
+            else:
+                m = (A * x[None, :] + B) % P
+                sig_out.append([int(v) for v in m.min(axis=1)])
+        return pd.DataFrame({"sh": sh_out, "sig": sig_out})
+
+    udf = F.pandas_udf("sh array<long>, sig array<long>")(kernel)
+    _minhash_poly_udf_cache[key] = udf
+    return udf
+
+
 def minhash_signature(shingle_col: Column, k: int = 32, seed: int = 1) -> Column:
     """k minhashes via k universal-hash permutations h_i(x) = (a_i*x+b_i) mod p.
     Entirely vectorized array math (transform + array_min)."""
     def perm(a: int, b: int):
         return lambda x: F.pmod(F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
 
-    sigs = []
-    for i in range(k):
-        a = (seed * 1_000_003 + i * 92_821) % _MERSENNE or 1
-        b = (seed * 689_287 + i * 283_111) % _MERSENNE
-        sigs.append(F.array_min(F.transform(shingle_col, perm(a, b))))
+    sigs = [F.array_min(F.transform(shingle_col, perm(a, b)))
+            for a, b in _minhash_perm_coeffs(k, seed)]
     return F.array(*sigs)
 
 
@@ -89,6 +196,7 @@ def minhash_lsh_candidates(
     min_jaccard: float = 0.5,
     hash_fn: str = "xxhash64",
     seed: int = 1,
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, exact-verified
     with true shingle Jaccard.  Returns (doc_a, doc_b, est_jaccard, jaccard).
@@ -97,13 +205,28 @@ def minhash_lsh_candidates(
     hash so a DuckDB oracle can recompute the identical candidate set; the
     banding hash stays xxhash64 — pair membership depends only on band-slice
     EQUALITY, which any hash preserves, so the oracle can band on the raw
-    slice values instead."""
+    slice values instead.
+
+    ``signature_impl``: "expr" keeps shingling + signatures in SQL
+    expressions; "pandas" computes them in one Arrow-batched kernel
+    (bit-identical, pinned by tests/test_functions.py parity test); "auto"
+    picks "pandas" for hash_fn="poly" — the per-character expression fold is
+    interpreted and dominates the wall — and "expr" for xxhash64, where the
+    JVM intrinsic already wins."""
     rows_per_band = k // bands
     docs = spread_for_compute(docs)
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n_gram, hash_fn=hash_fn).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k=k, seed=seed))
+    impl = signature_impl if signature_impl != "auto" else ("pandas" if hash_fn == "poly" else "expr")
+    if impl == "pandas":
+        if hash_fn != "poly":
+            raise ValueError("signature_impl='pandas' implements the poly hash mode only")
+        kern = _minhash_poly_arrow(n_gram, k, seed)
+        sig = docs.select(F.col(id_col).alias("id"), kern(F.col(text_col)).alias("r")) \
+                  .select("id", F.col("r.sh").alias("sh"), F.col("r.sig").alias("sig"))
+    else:
+        sig = docs.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), n_gram, hash_fn=hash_fn).alias("sh"),
+        ).withColumn("sig", minhash_signature(F.col("sh"), k=k, seed=seed))
 
     # Late materialization: the band self-join sees ONLY (id, band, bucket)
     # — narrow fixed-width rows — never the shingle/signature arrays, which

@@ -40,6 +40,41 @@ def test_minhash_lsh_finds_planted_dups(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0 and r["jaccard"] >= 0.4
 
 
+def test_minhash_poly_arrow_bit_parity(spark, docs):
+    """The Arrow poly-MinHash kernel must be BIT-IDENTICAL to the SQL
+    expression twin (shingles + minhash_signature) — the DuckDB oracle
+    recomputes the expression semantics, so any drift here breaks the
+    oracle gate silently."""
+    from bifrost_spark.functions.dedup import _minhash_poly_arrow, minhash_signature, shingles
+
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one"), (100004, "two words"),
+         (100005, "exactly three tokens"), (100006, "Ünïcode — stripped; digits 42 stay!"),
+         (100007, "a a a a a a repeated token gram dedup check a a a")],
+        "doc_id long, text string")
+    sample = docs.limit(40).select("doc_id", "text").unionByName(edge)
+
+    for n_gram, k, seed in [(3, 32, 1), (2, 16, 7)]:
+        expr = sample.select(
+            F.col("doc_id"),
+            shingles(F.col("text"), n_gram, hash_fn="poly").alias("sh"),
+        ).withColumn("sig", minhash_signature(F.col("sh"), k=k, seed=seed))
+        kern = _minhash_poly_arrow(n_gram, k, seed)
+        arrow = sample.select(F.col("doc_id"), kern(F.col("text")).alias("r")) \
+                      .select("doc_id", F.col("r.sh").alias("sh"), F.col("r.sig").alias("sig"))
+        e = {r["doc_id"]: (r["sh"], r["sig"]) for r in expr.collect()}
+        a = {r["doc_id"]: (r["sh"], r["sig"]) for r in arrow.collect()}
+        assert e == a
+
+
+def test_minhash_lsh_impls_agree(spark, docs):
+    """End-to-end: poly-mode candidate pairs identical under both impls."""
+    sub = docs.limit(120)
+    out_e = minhash_lsh_candidates(sub, min_jaccard=0.3, hash_fn="poly", signature_impl="expr")
+    out_p = minhash_lsh_candidates(sub, min_jaccard=0.3, hash_fn="poly", signature_impl="pandas")
+    assert sorted(map(tuple, out_e.collect())) == sorted(map(tuple, out_p.collect()))
+
+
 def test_minhash_lsh_on_corpus(spark, docs):
     out = minhash_lsh_candidates(docs, min_jaccard=0.5)
     # deterministic: same result twice
