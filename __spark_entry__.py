@@ -1500,6 +1500,33 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_training_mix(spark, sf_dir):
+    """Weighted training-mix assembly: per-source keep rates (keep all of
+    src0, half of src1, a quarter of src2, none of src3, 1/8 of everything
+    else) with the same salted-sha256 keep rule as sample_deterministic —
+    ONE scan-stage CASE filter, no join, no shuffle; the mix is nested per
+    stratum (raising a rate strictly grows that stratum's kept set).  The
+    oracle runs the identical CASE predicate on DuckDB's sha256."""
+    from bifrost_spark.functions.sampling import training_mix
+
+    return training_mix(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        strata_col="source", default_rate=0.125,
+    ).select("doc_id", "source", "lang")
+
+
+def q_text_common_ngrams(spark, sf_dir):
+    """Boilerplate/blocklist builder: word 3-grams shared by the most
+    documents (span-dedup precursor, Lee et al. 2021).  Per-doc distinct
+    grams are row-local array math; explode is a flatMap; the only shuffle
+    is the map-side-combined groupBy(gram) count; top-N is TakeOrdered.
+    The DuckDB oracle recomputes grams, counts, and the tie-broken top-N."""
+    from bifrost_spark.functions.text import common_ngrams
+
+    return common_ngrams(_docs(spark, sf_dir), n=3, min_docs=2, top=50)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING — the keep-one stage of a dedup pipeline:
     MinHash-LSH verified pairs (portable-hash mode, identical to
@@ -1957,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "sample_training_mix": q_sample_training_mix,
+        "text_common_ngrams": q_text_common_ngrams,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2449,6 +2478,35 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": """
             SELECT doc_id, lang FROM documents
             WHERE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "sample_training_mix": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE CASE
+              WHEN source = 'src0' THEN TRUE
+              WHEN source = 'src1' THEN substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '800000'
+              WHEN source = 'src2' THEN substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '400000'
+              WHEN source = 'src3' THEN FALSE
+              ELSE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '200000'
+            END
+        """,
+        "text_common_ngrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                                      i -> array_to_string(tk[i+1:i+3], ' ')),
+                       g -> g <> '')) AS gs
+              FROM toks
+            ), exploded AS (
+              SELECT doc_id, unnest(gs) AS gram FROM grams
+            )
+            SELECT gram, count(*) AS n_docs FROM exploded
+            GROUP BY gram HAVING count(*) >= 2
+            ORDER BY n_docs DESC, gram LIMIT 50
         """,
         "sample_stratified": """
             SELECT doc_id, lang, sample_rank FROM (

@@ -290,7 +290,14 @@ def simhash_fingerprints(
     hashes) via array transforms; bit set iff the vote is strictly positive.
     """
     docs = spread_for_compute(docs)
-    toks = F.array_distinct(_tokens_ascii(F.col(text_col)) if hash_fn == "poly" else _tokens(F.col(text_col)))
+    fp = simhash_col(F.col(text_col), n_bits=n_bits, hash_fn=hash_fn)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_col(text_col: Column, n_bits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """The SimHash fingerprint as a pure column expression — usable in any
+    projection, including streaming plans (no repartition, no DataFrame)."""
+    toks = F.array_distinct(_tokens_ascii(text_col) if hash_fn == "poly" else _tokens(text_col))
     if hash_fn == "poly":
         if n_bits > 63:
             # (1 << 64) - 1 overflows a LongType literal; the portable fold
@@ -310,7 +317,7 @@ def simhash_fingerprints(
         bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return fp
 
 
 def simhash_pairs(

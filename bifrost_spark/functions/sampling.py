@@ -67,3 +67,41 @@ def stratified_cap(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def training_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "s1",
+    default_rate: float = 0.0,
+    hex_digits: int = 6,
+) -> DataFrame:
+    """Weighted training-mix assembly: keep each stratum (source, domain,
+    language) at its own target rate — e.g. {"web": 0.1, "code": 1.0,
+    "books": 0.5} — with the same salted-sha256 keep rule as
+    ``deterministic_sample``, so the mix is reproducible, engine-independent,
+    and nested (raising one stratum's rate strictly grows its kept set
+    without disturbing the others; the hash never sees the rate).
+
+    Scale shape: ONE scan-stage filter — the per-stratum threshold is a
+    CASE over literals, no join against a rates table, no shuffle; strata
+    missing from ``rates`` fall back to ``default_rate``."""
+    def thr_hex(rate: float) -> str:
+        q = int(rate * (16 ** hex_digits))
+        return format(min(max(q, 0), 16 ** hex_digits - 1), f"0{hex_digits}x")
+
+    prefix = F.substring(_hash_key(F.col(key_col), salt), 1, hex_digits)
+
+    def keep_for(rate: float) -> Column:
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return prefix < F.lit(thr_hex(rate))
+
+    cond = keep_for(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        cond = F.when(F.col(strata_col) == stratum, keep_for(rate)).otherwise(cond)
+    return df.filter(cond)

@@ -281,3 +281,41 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         # features without a doc_id self-join — still one pure projection
         *[F.col(c) for c in (keep or [])],
     )
+
+
+def common_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Boilerplate / blocklist builder: the word n-grams shared by the most
+    documents (headers, footers, license banners, nav chrome).  The standard
+    precursor to span-level dedup (Lee et al. 2021 build their substring
+    dedup lists this way): emit grams appearing in >= ``min_docs`` distinct
+    docs, most-shared first.  Returns (gram, n_docs), ties broken by gram.
+
+    Scale shape: per-doc distinct grams are row-local array math; explode is
+    a flatMap (no shuffle); the ONLY shuffle is the groupBy(gram) count with
+    map-side partial aggregation (grams deduped per doc, so count(*) counts
+    documents — no expensive count-distinct state); the top-N is
+    TakeOrdered (per-partition heap, no global sort shuffle).  Uses the
+    ascii tokenizer so the DuckDB oracle recomputes grams identically."""
+    from bifrost_spark.functions.dedup import _tokens_ascii as _ta
+
+    toks = _ta(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        lambda g: g != "",
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(top)
+    )

@@ -100,6 +100,49 @@ def test_deterministic_sample_nested_and_stable(spark, docs):
     assert other != kept
 
 
+def test_training_mix(spark, docs):
+    from bifrost_spark.functions.sampling import training_mix
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = training_mix(docs, rates, strata_col="source", default_rate=0.25)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == src["src0"]          # rate 1.0 keeps everything
+    assert "src2" not in per                   # rate 0.0 drops everything
+    assert 0 < per["src1"] < src["src1"]       # fractional rate keeps some
+    other = sum(v for k, v in per.items() if k not in rates)
+    other_src = sum(v for k, v in src.items() if k not in rates)
+    assert 0 < other < other_src               # default_rate applies to the rest
+    # nested per stratum: raising src1's rate strictly grows its kept set
+    kept_half = {r["doc_id"] for r in out.filter(F.col("source") == "src1").select("doc_id").collect()}
+    wider = training_mix(docs, {"src0": 1.0, "src1": 0.9, "src2": 0.0},
+                         strata_col="source", default_rate=0.25)
+    kept_wide = {r["doc_id"] for r in wider.filter(F.col("source") == "src1").select("doc_id").collect()}
+    assert kept_half < kept_wide
+    # one scan-stage filter: no shuffle in the plan
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_common_ngrams(spark):
+    from bifrost_spark.functions.text import common_ngrams
+
+    boiler = "all rights reserved by the site"
+    rows = [(1, f"unique alpha text one {boiler}"), (2, f"other beta words two {boiler}"),
+            (3, f"third gamma body three {boiler}"), (4, "no shared content at all here whatsoever"),
+            (5, None), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r["n_docs"] for r in common_ngrams(df, n=3, min_docs=2, top=100).collect()}
+    assert out["all rights reserved"] == 3
+    assert out["rights reserved by"] == 3
+    assert all(n >= 2 for n in out.values())
+    assert not any("whatsoever" in g for g in out)  # unshared grams filtered
+    # repeated gram inside ONE doc counts once (per-doc distinct)
+    df2 = spark.createDataFrame([(1, "x y z x y z x y z"), (2, "x y z only once")],
+                                "doc_id long, text string")
+    out2 = {r["gram"]: r["n_docs"] for r in common_ngrams(df2, n=3, min_docs=2, top=10).collect()}
+    assert out2["x y z"] == 2
+
+
 def test_stratified_cap(spark, docs):
     from bifrost_spark.functions.sampling import stratified_cap
 
