@@ -202,6 +202,18 @@ def q_a1_flow_counters(spark, sf_dir):
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup (30-min gap): the per-entity
+    generalization of the reference's flow counters (server/count/count.go
+    buckets by wall-clock second).  One shuffle on user_id; the window and
+    the per-session aggregate share that partitioning (no second
+    exchange).  The DuckDB oracle recomputes lag → boundary → running sum
+    → rollup with the identical window functions."""
+    from bifrost_spark.functions.sessions import session_stats
+
+    return session_stats(_ev(spark, sf_dir), gap_minutes=30)
+
+
 def q_a2_table_counts(spark, sf_dir):
     """A2: lifetime per-type op counters (TableCount sink).
     Ref: /root/reference/plugin/TableCount/src/flow.go."""
@@ -1986,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_training_mix": q_sample_training_mix,
         "text_common_ngrams": q_text_common_ngrams,
+        "event_sessions": q_event_sessions,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2085,6 +2098,31 @@ def oracle_sql() -> dict[str, str]:
         "a2_table_counts": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "event_sessions": """
+            -- floor(epoch) everywhere: Spark's timestamp->long cast truncates
+            -- to whole seconds, and the 30-min gap compares those
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                     - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM sess GROUP BY user_id, session_seq
         """,
         "a3_min_position": """
             SELECT min(sink_pos) AS ack_event_id, count(*) AS n_sinks FROM (

@@ -283,6 +283,39 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     )
 
 
+_gram_udf_cache: dict = {}
+
+
+def _distinct_grams_pandas(n: int):
+    """Arrow-batched per-doc distinct word n-grams.  Same tokens/grams as
+    the expression path (parity pinned in tests) but the tokenize+join runs
+    vectorized per batch instead of through interpreted per-element
+    higher-order functions — the same trade the repetition kernel and the
+    poly-MinHash kernel make."""
+    if n in _gram_udf_cache:
+        return _gram_udf_cache[n]
+
+    def kernel(texts):
+        import re
+
+        import pandas as pd
+
+        pat = re.compile(r"[^a-z0-9]+")
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = [w for w in pat.split(t.lower()) if w]
+            gs = [" ".join(toks[i:i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+            out.append(list(dict.fromkeys(g for g in gs if g)))
+        return pd.Series(out)
+
+    udf = F.pandas_udf("array<string>")(kernel)
+    _gram_udf_cache[n] = udf
+    return udf
+
+
 def common_ngrams(
     docs: DataFrame,
     text_col: str = "text",
@@ -290,6 +323,7 @@ def common_ngrams(
     n: int = 3,
     min_docs: int = 2,
     top: int = 100,
+    impl: str = "auto",
 ) -> DataFrame:
     """Boilerplate / blocklist builder: the word n-grams shared by the most
     documents (headers, footers, license banners, nav chrome).  The standard
@@ -302,17 +336,33 @@ def common_ngrams(
     map-side partial aggregation (grams deduped per doc, so count(*) counts
     documents — no expensive count-distinct state); the top-N is
     TakeOrdered (per-partition heap, no global sort shuffle).  Uses the
-    ascii tokenizer so the DuckDB oracle recomputes grams identically."""
-    from bifrost_spark.functions.dedup import _tokens_ascii as _ta
+    ascii tokenizer so the DuckDB oracle recomputes grams identically.
 
-    toks = _ta(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        lambda g: g != "",
-    )
+    ``impl``: "expr" builds grams with SQL higher-order functions (the
+    engine-independent spec); "pandas" (= "auto") uses the Arrow kernel —
+    the interpreted per-element HOF chain re-walks each document per gram
+    and dominates the wall on long texts (same fix as the repetition and
+    poly-MinHash kernels; post-explode parity pinned in tests)."""
+    from bifrost_spark.functions.spread import spread_for_compute
+
+    docs = spread_for_compute(docs)
+    if impl in ("auto", "pandas"):
+        grams = _distinct_grams_pandas(n)(F.col(text_col))
+        exploded = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    elif impl == "expr":
+        from bifrost_spark.functions.dedup import _tokens_ascii as _ta
+
+        toks = _ta(F.col(text_col))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            lambda g: g != "",
+        )
+        exploded = docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    else:
+        raise ValueError(f"impl must be 'auto', 'pandas', or 'expr', got {impl!r}")
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+        exploded
         .groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)

@@ -143,6 +143,19 @@ def test_common_ngrams(spark):
     assert out2["x y z"] == 2
 
 
+def test_common_ngrams_impls_agree(spark, docs):
+    from bifrost_spark.functions.text import common_ngrams
+
+    edge = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "two words"), (900004, "Ünïcode 42 bits")],
+        "doc_id long, text string")
+    sample = docs.limit(60).select("doc_id", "text").unionByName(edge)
+    for n in (2, 3):
+        e = sorted(map(tuple, common_ngrams(sample, n=n, min_docs=1, top=10000, impl="expr").collect()))
+        p = sorted(map(tuple, common_ngrams(sample, n=n, min_docs=1, top=10000, impl="pandas").collect()))
+        assert e == p
+
+
 def test_stratified_cap(spark, docs):
     from bifrost_spark.functions.sampling import stratified_cap
 
