@@ -135,7 +135,12 @@ def main() -> None:
     # otherwise be charged entirely to whichever pandas-UDF query runs first.
     from pyspark.sql.functions import pandas_udf as _pudf
 
-    _warm = _pudf(lambda s: s, "long")
+    def _warm_kernel(s):
+        import numpy  # noqa: F401 — pay the per-worker import once, untimed
+
+        return s
+
+    _warm = _pudf(_warm_kernel, "long")
 
     spark.range(256, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
          .select(_warm("id")).count()
