@@ -1512,6 +1512,37 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_text_scrub_boilerplate(spark, sf_dir):
+    """The scrub half of the blocklist loop: build the top-20 shared
+    3-gram blocklist with common_ngrams (min_docs=10), then drop every
+    token position covered by a blocklisted gram occurrence and rebuild
+    the normalized text.  The blocklist collect is metadata-scale
+    (top-N by construction); the corpus itself never moves — one
+    Arrow-batched projection, no shuffle.  The DuckDB oracle recomputes
+    the blocklist AND the scrub (position explode → covered ranges →
+    anti-join rebuild) end to end."""
+    from bifrost_spark.functions.text import common_ngrams, remove_boilerplate
+
+    docs = _docs(spark, sf_dir)
+    bl = [r["gram"] for r in common_ngrams(docs, n=3, min_docs=10, top=20).collect()]
+    return remove_boilerplate(docs, bl, n=3)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus length distribution (the first report any
+    training-mix decision reads): count, exact median / p90 (interpolating,
+    same definition as DuckDB quantile_cont), mean.  Exact percentiles are
+    ObjectHashAggregate (per-group value buffers) — right at report scale
+    on grouped sources; the 100 TB twin is percentile_approx (t-digest,
+    map-side combinable), traded here for oracle exactness."""
+    return _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.median("n_chars"), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 def q_sample_training_mix(spark, sf_dir):
     """Weighted training-mix assembly: per-source keep rates (keep all of
     src0, half of src1, a quarter of src2, none of src3, 1/8 of everything
@@ -1999,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_training_mix": q_sample_training_mix,
         "text_common_ngrams": q_text_common_ngrams,
         "event_sessions": q_event_sessions,
+        "corpus_stats": q_corpus_stats,
+        "text_scrub_boilerplate": q_text_scrub_boilerplate,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -2516,6 +2549,70 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": """
             SELECT doc_id, lang FROM documents
             WHERE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        """,
+        "text_scrub_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+              FROM documents
+            ), gsets AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                                      i -> array_to_string(tk[i+1:i+3], ' ')),
+                       g -> g <> '')) AS gs
+              FROM toks
+            ), bl AS (
+              SELECT gram FROM (
+                SELECT gram, count(*) AS n_docs
+                FROM (SELECT doc_id, unnest(gs) AS gram FROM gsets)
+                GROUP BY gram HAVING count(*) >= 10
+                ORDER BY n_docs DESC, gram LIMIT 20)
+            ), posx AS (
+              -- range() can't take correlated args in DuckDB; build the
+              -- (i, L, gram) tuples as a list per doc and unnest it
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                       i -> struct_pack(i := i, L := len(tk),
+                                        gram := array_to_string(tk[i+1:i+3], ' ')))) AS u
+              FROM toks WHERE len(tk) > 0
+            ), pos AS (
+              SELECT doc_id, u.i AS i, u.L AS L, u.gram AS gram FROM posx
+            ), coveredx AS (
+              SELECT p.doc_id, unnest(range(p.i, least(p.i + 3, p.L))) AS j
+              FROM pos p JOIN bl USING (gram)
+            ), covered AS (
+              SELECT DISTINCT doc_id, j FROM coveredx
+            ), tokposx AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(tk)),
+                       j -> struct_pack(j := j, tok := tk[j+1]))) AS u
+              FROM toks
+            ), tokpos AS (
+              SELECT doc_id, u.j AS j, u.tok AS tok FROM tokposx
+            ), kept AS (
+              SELECT tp.doc_id, tp.j, tp.tok
+              FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.j = c.j
+              WHERE c.doc_id IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text
+              FROM kept GROUP BY doc_id
+            ), cov_n AS (
+              SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(cn.n_removed, 0) AS n_removed
+            FROM toks t
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN cov_n cn USING (doc_id)
+        """,
+        "corpus_stats": """
+            SELECT source, count(*) AS n_docs,
+                   round(median(n_chars), 4) AS median_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY source
         """,
         "sample_training_mix": """
             SELECT doc_id, source, lang FROM documents

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_common_ngrams",
     "sample_training_mix",
     "event_sessions",
+    "corpus_stats",
+    "text_scrub_boilerplate",
     "pii_scrub",
     "doc_pipeline",
     "doc_pipeline_v2",

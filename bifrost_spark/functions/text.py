@@ -369,3 +369,46 @@ def common_ngrams(
         .orderBy(F.col("n_docs").desc(), F.col("gram"))
         .limit(top)
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The scrub half of the blocklist loop (build with ``common_ngrams``):
+    drop every token position covered by an occurrence of a blocklisted
+    word n-gram, rebuild the NORMALIZED text (lowercase ascii tokens joined
+    by single spaces — the domain the grams were built over).  Returns
+    (doc_id, clean_text, n_removed).
+
+    ``blocklist`` is a plain Python list by design: it is top-N output
+    (metadata-scale, ≤ ~10^5 grams), shipped to executors in the UDF
+    closure — the same broadcast shape as ``decontaminate``'s benchmark
+    grams.  Scale: one Arrow-batched projection, no shuffle, no join; the
+    corpus never moves."""
+    bl = frozenset(blocklist)
+
+    def kernel(texts):
+        import re
+
+        import pandas as pd
+
+        pat = re.compile(r"[^a-z0-9]+")
+        clean, removed = [], []
+        for t in texts:
+            toks = [] if t is None else [w for w in pat.split(t.lower()) if w]
+            covered: set = set()
+            for i in range(max(len(toks) - n, 0) + 1):
+                if toks and " ".join(toks[i:i + n]) in bl:
+                    covered.update(range(i, min(i + n, len(toks))))
+            clean.append(" ".join(t for j, t in enumerate(toks) if j not in covered))
+            removed.append(len(covered))
+        return pd.DataFrame({"clean_text": clean, "n_removed": removed})
+
+    udf = F.pandas_udf("clean_text string, n_removed long")(kernel)
+    return docs.select(F.col(id_col), udf(F.col(text_col)).alias("_s")) \
+               .select(id_col, F.col("_s.clean_text").alias("clean_text"),
+                       F.col("_s.n_removed").alias("n_removed"))

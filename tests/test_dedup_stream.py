@@ -87,6 +87,52 @@ def test_stream_dedups_within_horizon_and_evicts_after(spark, tmp_path):
     assert got.count() == 4
 
 
+def test_streaming_ingest_pipeline_matches_batch(spark, tmp_path):
+    """Composite ingest under Structured Streaming semantics: quality gate
+    (pure expressions ride the stream) → online dedup → parquet sink,
+    single trigger — kept set must equal the batch composite on the same
+    rows (quality_features filter + fingerprint dropDuplicates)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bifrost_spark.functions.text import quality_features
+    from bifrost_spark.streaming.dedup_stream import DOC_STREAM_SCHEMA
+
+    rich = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the green hills for a long while afterwards")
+    rows = [
+        _doc(1, 0, rich),
+        _doc(2, 1, rich + "!!"),        # near-identical after normalization -> dup of 1
+        _doc(3, 2, "x x x"),            # fails the quality gate (too short)
+        _doc(4, 3, rich + " different suffix words entirely here"),
+    ]
+    src = str(tmp_path / "in")
+    _write_file(src, "f1.json", rows)
+
+    def gate(df):
+        return quality_features(df).filter(
+            (F.col("n_tokens") >= 10) & (F.col("quality_score") >= 0.5)
+        ).drop("n_tokens", "stopword_ratio", "distinct_ratio", "punct_ratio", "quality_score")
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).json(src)
+    kept = dedup_stream(gate(stream), delay="5 minutes")
+    out = str(tmp_path / "out")
+    q = (kept.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = dedup_stream(gate(spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string")))
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    assert 3 not in got and len(got) == 2  # gate drops 3; 1/2 collapse; 4 kept
+    assert len(got) == len(batch_ids)
+    # same fingerprint groups survive either way (which member of a dup
+    # group wins is arbitrary in both engines)
+    assert got <= {1, 2, 4} and batch_ids <= {1, 2, 4}
+
+
 def test_stream_simhash_mode_runs(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")

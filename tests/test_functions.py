@@ -143,6 +143,29 @@ def test_common_ngrams(spark):
     assert out2["x y z"] == 2
 
 
+def test_remove_boilerplate(spark):
+    from bifrost_spark.functions.text import remove_boilerplate
+
+    bl = ["all rights reserved", "terms of service"]
+    rows = [
+        (1, "real content here then All Rights Reserved and more content"),
+        (2, "terms of service"),                       # fully covered
+        (3, "no blocked phrases in this document"),
+        (4, None),
+        (5, "all rights reserved all rights reserved"),  # overlapping repeats
+        (6, "short doc"),                               # len < n, not blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_boilerplate(df, bl, n=3).collect()}
+    assert got[1] == ("real content here then and more content", 3)
+    assert got[2] == ("", 3)
+    assert got[3] == ("no blocked phrases in this document", 0)
+    assert got[4] == ("", 0)
+    assert got[5] == ("", 6)
+    assert got[6] == ("short doc", 0)
+
+
 def test_common_ngrams_impls_agree(spark, docs):
     from bifrost_spark.functions.text import common_ngrams
 
