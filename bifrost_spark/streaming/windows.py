@@ -67,3 +67,52 @@ def start_windowed_flow_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour",
+                         user_col: str = "user_id") -> DataFrame:
+    """Streaming twin of ``functions/sessions.session_stats``: Spark's
+    native ``session_window`` aggregation — windows merge while events keep
+    arriving within ``gap`` of the session's edge, close when the watermark
+    passes (append mode emits each closed session exactly once; state per
+    open session only, evicted on close — bounded like the dedup stream).
+
+    Boundary semantics match the batch twin, pinned in tests: an event
+    landing EXACTLY ``gap`` after the previous one merges into the SAME
+    session in both (session_window treats the ``ts + gap`` edge as
+    inclusive for merging; the batch operator splits only on
+    ``diff > gap``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def start_session_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """File-source ingest → session_window rollup → append parquet sink."""
+    events = spark.readStream.schema(schema).json(in_path)
+    agg = session_window_stats(events, gap=gap, watermark=watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

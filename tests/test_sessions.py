@@ -45,6 +45,67 @@ def test_session_stats_rollup(spark):
     assert got[(300, 1)]["n_events"] == 1
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Closed streaming sessions equal the batch rollup (no exact-gap events
+    in this stream, so both boundary conventions agree); the exact-gap edge
+    is pinned separately below."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from bifrost_spark.functions.sessions import session_stats
+    from bifrost_spark.streaming.windows import start_session_stream
+
+    rows = [r for r in _rows() if r[0] != 5]  # drop the exactly-30-min event
+    # a session only CLOSES once the watermark passes last_event + gap, so a
+    # far-future closer event (excluded from the comparison) flushes the tail
+    closer = (99, datetime(2026, 1, 1, 6, 0), 999, "c", 0.0)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(f"{src}/f1.json", "w") as f:
+        for eid, ts, user, etype, val in rows + [closer]:
+            f.write(_json.dumps({"event_id": eid, "ts": ts.isoformat(), "user_id": user,
+                                 "event_type": etype, "value": val}) + "\n")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()), T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()), T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    out = str(tmp_path / "out")
+    q = start_session_stream(spark, src, out, str(tmp_path / "ckpt"), schema,
+                             gap="30 minutes", watermark="0 seconds")
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out).collect() if r["user_id"] != 999}
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    want = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+            for r in session_stats(batch, gap_minutes=30).collect()}
+    # availableNow + watermark 0: every session closes by stream end
+    assert got == want and len(got) == 4
+
+
+def test_session_window_exact_gap_edge(spark):
+    """Boundary agreement: exactly-gap-apart events merge into ONE session
+    under BOTH twins (session_window merges at the inclusive ts+gap edge;
+    the batch op splits only on diff > gap) — and one second past the gap
+    splits in both."""
+    from bifrost_spark.functions.sessions import session_stats
+    from bifrost_spark.streaming.windows import session_window_stats
+
+    def pair(sec):
+        return spark.createDataFrame(
+            [(1, datetime(2026, 1, 1, 0, 0, 0), 1, "c", 1.0),
+             (2, datetime(2026, 1, 1, 0, 30, sec), 1, "c", 1.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+    assert session_window_stats(pair(0), gap="30 minutes").count() == 1
+    assert session_stats(pair(0), gap_minutes=30).count() == 1
+    assert session_window_stats(pair(1), gap="30 minutes").count() == 2
+    assert session_stats(pair(1), gap_minutes=30).count() == 2
+
+
 def test_session_stats_single_shuffle(spark, tmp_path):
     # from a parquet scan (realistic input), the window AND the rollup share
     # one hashpartitioning(user_id) exchange
