@@ -2145,8 +2145,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts, value,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                     -- CAST: DuckDB's windowed sum() returns HUGEINT which
+                     -- pandas materializes as float64; Spark emits int64
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
               FROM flagged
             )
             SELECT user_id, session_seq,

@@ -25,8 +25,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        # dtype-STRICT: a float64 1.0 must hash differently from an int64 1,
+        # matching the driver's value hash (the r4 event_sessions lesson —
+        # DuckDB HUGEINT window sums surface as pandas float64).
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return f"{v:.1f}"
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(v).lower()
