@@ -81,21 +81,35 @@ def run_cdc_replay(spark, n_events: int, n_keys: int, n_chunks: int, workdir: st
     snap_df = generate_snapshot(spark, cfg)
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     walls = []
+    stage_splits = []
     n_final = None
     for trial in range(trials + 1):
         tbl = os.path.join(workdir, f"tbl{trial}")
         table = TargetTable.create(spark, tbl, n_buckets=int(os.environ.get("BENCH_BUCKETS", "32")))
         table.bootstrap(snap_df)
         t0 = time.time()
-        replay_event_log(spark, log, table)
+        results = replay_event_log(spark, log, table)
         walls.append(time.time() - t0)
+        # Per-stage decomposition from the engine's own per-batch metrics, so
+        # a future regression names its stage: stats agg (batch range/count),
+        # LWW dedup + lineage materialization, the bucket write job, and the
+        # un-attributed remainder (manifest/state bookkeeping + driver).
+        ms = {"stats": 0.0, "lww_lineage": 0.0, "write": 0.0}
+        for r in results:
+            ms["stats"] += r.get("stats_ms", 0.0)
+            ms["lww_lineage"] += r.get("lww_ms", 0.0)
+            ms["write"] += r.get("wall_ms", 0.0)
+        ms["other"] = walls[-1] * 1000 - sum(ms.values())
+        stage_splits.append({k: round(v / 1000, 3) for k, v in ms.items()})
         n_final = table.read().count()
         shutil.rmtree(tbl, ignore_errors=True)
-    wall = min(walls[1:])
+    best = min(range(1, len(walls)), key=lambda i: walls[i])
+    wall = walls[best]
     shutil.rmtree(workdir, ignore_errors=True)
     return {
         "wall_sec": wall,
         "walls": [round(w, 2) for w in walls],
+        "stage_sec": stage_splits[best],
         "events_per_sec": n_events / wall,
         "n_events": n_events,
         "n_final_rows": n_final,
@@ -135,27 +149,45 @@ def main() -> None:
     # JIT-warmup replay: per-query walls measure the operator at steady
     # state, not the one-time worker/numpy-import spin-up, which would
     # otherwise be charged entirely to whichever pandas-UDF query runs first.
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf as _pudf
 
     def _warm_kernel(s):
-        import numpy  # noqa: F401 — pay the per-worker import once, untimed
+        # pay the per-worker imports once, untimed (same deps the minhash /
+        # similarity Arrow kernels touch first)
+        import numpy as np
+        import pandas as pd  # noqa: F401
 
-        return s
+        return pd.Series(np.asarray(s, dtype="int64"))
 
     _warm = _pudf(_warm_kernel, "long")
 
-    spark.range(256, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
-         .select(_warm("id")).count()
+    # The aggregate CONSUMES the UDF column: under a bare .count() Catalyst
+    # prunes the unused projection and never forks the Python workers
+    # (verified on PySpark 4.1.2).  64 rows per partition keeps every
+    # partition non-empty at any SPARK_GRAFT_CPUS.
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(64 * n_workers, numPartitions=n_workers) \
+         .agg(F.sum(_warm("id"))).collect()
 
+    # Same policy as the CDC headline (1 warm + min of trials): the first
+    # execution of a query pays one-time Janino codegen compilation of its
+    # whole-stage source (≈1-2 s for the k=32 minhash expression trees),
+    # which measures the compiler, not the operator.  Caches are released
+    # between trials so every trial re-does the full operator work.
+    q_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        release_caches()
-        _ = n
+        walls = []
+        for _trial in range(q_trials):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            walls.append(time.time() - t0)
+            release_caches()
+            _ = n
+        timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -169,6 +201,7 @@ def main() -> None:
                 "cdc_apply_events_per_sec": round(cdc["events_per_sec"], 1),
                 "cdc_apply_wall_sec": round(cdc["wall_sec"], 3),
                 "cdc_apply_walls": cdc["walls"],
+                "cdc_apply_stage_sec": cdc["stage_sec"],
                 "cdc_setup_sec": round(cdc_harness_sec - sum(cdc["walls"][1:]), 3),
                 "cdc_n_events": cdc["n_events"],
                 "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
