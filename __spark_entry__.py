@@ -1430,6 +1430,26 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2021 ExactSubstr semantics,
+    suffix-array-free): scrub every repeated span of >= 10 tokens occurring
+    >= 2 times in the corpus, via duplicated L-token window coverage — two
+    narrow shuffles, no pairwise comparison (see functions/substring.py).
+    hash_fn='poly' so the DuckDB oracle recomputes the identical two-level
+    polynomial window keys and the identical scrub bit-for-bit; xxhash64 is
+    the production mode (covered by tests/test_substring.py parity)."""
+    from bifrost_spark.functions.substring import exact_substring_scrub
+
+    out = exact_substring_scrub(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        min_tokens=10, min_count=2, hash_fn="poly",
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", "n_spans",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (duplicate/top n-gram
     fractions) — row-local sort+fold array math, no shuffle/UDF; the oracle
@@ -1761,6 +1781,65 @@ def _poly_sql(strexpr: str, *, mod: int | None = None, mask: int | None = None) 
     )
 
 
+def _substring_oracle_sql(min_tokens: int = 10, min_count: int = 2) -> str:
+    """Full SQL recompute of exact_substring_scrub(hash_fn='poly'): same
+    ascii tokens -> per-token poly char hashes -> two-level polynomial
+    window keys (bit-identical to the Arrow kernel, so hash collisions — if
+    any — reproduce on both sides) -> global window counts -> covered token
+    positions -> identical scrub/stats/md5."""
+    M = (1 << 31) - 1
+    L = min_tokens
+    fold1 = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), hs[pos+1:pos+{L}]), "
+             f"(a, b) -> (a*1000003 + b) % {M})")
+    fold2 = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), hs[pos+1:pos+{L}]), "
+             f"(a, b) -> (a*92821 + b) % {M})")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, tk, len(tk) AS n,
+                 list_transform(tk, t -> {_poly_sql('t', mod=M)}) AS hs
+          FROM toks
+        ), pos AS (
+          SELECT doc_id, hs,
+                 unnest(range(0, CASE WHEN n >= {L} THEN n - {L} + 1 ELSE 0 END)) AS pos
+          FROM hashed
+        ), wins AS (
+          SELECT doc_id, pos, {fold1} * 2147483648 + {fold2} AS key FROM pos
+        ), dup AS (
+          SELECT key FROM wins GROUP BY key HAVING count(*) >= {min_count}
+        ), cov AS (
+          SELECT DISTINCT w.doc_id, w.pos + u.off AS j
+          FROM wins w JOIN dup d USING (key), unnest(range(0, {L})) u(off)
+        ), runs AS (
+          SELECT doc_id, j,
+                 CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) = j - 1
+                      THEN 0 ELSE 1 END AS new_run
+          FROM cov
+        ), stats AS (
+          SELECT doc_id, count(*) AS n_removed,
+                 CAST(sum(new_run) AS BIGINT) AS n_spans
+          FROM runs GROUP BY doc_id
+        ), covlist AS (
+          SELECT doc_id, list(j) AS cj FROM cov GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.n AS n_tokens,
+               coalesce(s.n_removed, 0) AS n_removed,
+               coalesce(s.n_spans, 0) AS n_spans,
+               -- coalesce: DuckDB's array_to_string([]) is NULL, not ''
+               md5(coalesce(array_to_string(
+                 list_transform(
+                   list_filter(range(0, h.n),
+                               i -> NOT list_contains(coalesce(c.cj, CAST([] AS BIGINT[])), i)),
+                   i -> h.tk[i + 1]), ' '), '')) AS clean_md5
+        FROM hashed h
+        LEFT JOIN covlist c USING (doc_id)
+        LEFT JOIN stats s USING (doc_id)
+    """
+
+
 def _minhash_lsh_oracle_sql(n_gram: int = 3, k: int = 32, bands: int = 8,
                             min_jaccard: float = 0.5, seed: int = 1) -> str:
     """Full SQL recompute of minhash_lsh_candidates(hash_fn='poly'): same
@@ -2022,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_substring": q_dedup_substring,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -2455,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE round(jac, 6) >= 0.5
         """,
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "dedup_substring": _substring_oracle_sql(),
         "text_repetition": """
             WITH tk AS (
               SELECT doc_id,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_xx",
+    "dedup_substring",
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",

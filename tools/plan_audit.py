@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import shutil
 import sys
 from contextlib import redirect_stdout
@@ -298,6 +299,26 @@ def main() -> int:
          n_nodes(p, "Scan parquet") == 3),
     ]
     sections.append(("doc_pipeline_v2 — single feature eval, narrow window shuffle, broadcast anti scrub", p, checks))
+
+    # 11. dedup_substring: ExactSubstr scrub without a suffix array — the
+    # global window count must be a plain linear groupBy on the 8-byte key
+    # (map-side combined), the cover join key-equality only (NEVER an
+    # all-pairs / nested-loop shape), and only two Arrow kernels run: the
+    # window-key pass and the rebuild pass.
+    sub = entry.queries()["dedup_substring"](spark, "/root/testdata/sf0.001")
+    p = formatted(sub)
+    checks = [
+        ("no quadratic join anywhere (no cartesian / nested-loop node)",
+         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("duplicated-window count shuffles on the 8-byte window key",
+         "hashpartitioning(key" in p),
+        ("map-side partial count before the window-key exchange",
+         "partial_count" in p),
+        ("exactly two DISTINCT Arrow kernels — window-key pass + rebuild "
+         "pass — i.e. the generate guard did NOT duplicate the window kernel",
+         len(set(re.findall(r"\((\d+)\) ArrowEvalPython", p))) == 2),
+    ]
+    sections.append(("dedup_substring — linear window count, key-equality cover join", p, checks))
 
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
