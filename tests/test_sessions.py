@@ -1,6 +1,6 @@
 """Gap-based sessionization: hand-computed boundaries, single-shuffle plan."""
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -113,3 +113,46 @@ def test_session_stats_single_shuffle(spark, tmp_path):
     _df(spark).write.parquet(p)
     plan = session_stats(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_sessionize_equals_plain(spark):
+    """salt_days=True (hot-entity two-level stitch) must be event-for-event
+    identical to the plain single-window form — including sessions that
+    span one or several midnights, multi-day gaps, and tied timestamps."""
+    import random
+
+    from bifrost_spark.functions.sessions import session_stats, sessionize
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = datetime(2026, 1, 1, 22, 0, 0)
+        for _ in range(rng.randint(5, 120)):
+            # mix of small gaps (same session), cross-midnight gaps, and
+            # multi-day jumps; a few exact ties on ts
+            r = rng.random()
+            if r < 0.6:
+                step = rng.randint(0, 1500)
+            elif r < 0.9:
+                step = rng.randint(1801, 7200)
+            else:
+                step = rng.randint(86000, 200000)
+            t = t + timedelta(seconds=step)
+            rows.append((eid, t, user, "c", 1.0))
+            eid += 1
+            if rng.random() < 0.1:  # tied timestamp, tiebreak on event_id
+                rows.append((eid, t, user, "c", 1.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+    plain = {(r["event_id"], r["session_seq"])
+             for r in sessionize(df).select("event_id", "session_seq").collect()}
+    salted = {(r["event_id"], r["session_seq"])
+              for r in sessionize(df, salt_days=True).select("event_id", "session_seq").collect()}
+    assert salted == plain
+
+    ps = {tuple(r) for r in session_stats(df).collect()}
+    ss = {tuple(r) for r in session_stats(df, salt_days=True).collect()}
+    assert ss == ps
