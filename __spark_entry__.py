@@ -1752,6 +1752,84 @@ def q_doc_pipeline_v2(spark, sf_dir):
     )
 
 
+def q_doc_pipeline_v3(spark, sf_dir):
+    """The COMPLETE pretraining-prep chain in one entry — everything a
+    100 TB training-data pass does, in the order a real pipeline runs it:
+    PII detect+redact (one regex projection, counts + redaction fused) →
+    boilerplate-blocklist build (top-20 shared 3-grams, metadata-scale
+    collect) → boilerplate scrub (blocklist rides the Arrow kernel
+    closure; corpus never shuffles) → quality gates on the SCRUBBED text →
+    benchmark decontamination (broadcast 5-gram probe, left-anti) → exact
+    dedup keep-one (md5 window, no self-join) → weighted training mix
+    (scan-stage CASE filter) → per-source report.  The raw corpus carries
+    no PII, so the same deterministic augmentation as the pii_scrub entry
+    injects it (mirrored in the oracle).  Scale notes: two corpus-wide
+    shuffles total (gram count, dedup window); every other stage is a scan
+    projection, a broadcast probe, or a metadata collect."""
+    from pyspark.sql.window import Window
+
+    from bifrost_spark.functions.decontam import contaminated_ids
+    from bifrost_spark.functions.pii import scrub as pii_scrub
+    from bifrost_spark.functions.sampling import training_mix
+    from bifrost_spark.functions.text import common_ngrams, remove_boilerplate
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com now"))
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"))
+            ).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = pii_scrub(aug, keep=["source"])
+    bl = [r["gram"] for r in
+          common_ngrams(red, text_col="text_redacted", min_docs=10, top=20).collect()]
+    scrubbed = remove_boilerplate(red, bl, text_col="text_redacted",
+                                  keep=["source", "has_pii"])
+    toks = F.split(F.col("clean_text"), " ")
+    n_tok = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(F.size(toks))
+    ratio = F.when(n_tok > 0,
+                   F.size(F.array_distinct(toks)) / n_tok.cast("double")
+                   ).otherwise(F.lit(0.0))
+    feats = scrubbed.select(
+        "doc_id", "source", "has_pii", "n_removed", "clean_text",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+    )
+    contam = contaminated_ids(
+        feats, feats.filter(did % 97 == 0), n=5,
+        text_col="clean_text", hash_fn="none",
+    )
+    gated = (
+        feats.filter((F.col("n_tokens") >= 15) & (F.col("distinct_ratio") >= 0.3))
+        .join(contam, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    mixed = training_mix(
+        kept, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_rate=0.125,
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_removed").cast("bigint").alias("boilerplate_tokens_removed"),
+        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_pii_docs"),
+        F.min("distinct_ratio").alias("min_distinct_ratio"),
+        F.max("distinct_ratio").alias("max_distinct_ratio"),
+    )
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF coarse quantizer (FAISS-style) — deterministic
     hash-sampled centroids, broadcast cell assignment with map-side argmax,
@@ -1779,6 +1857,138 @@ def _poly_sql(strexpr: str, *, mod: int | None = None, mask: int | None = None) 
         "c -> CAST(ord(c) AS BIGINT))), "
         f"(a, b) -> (a*31 + b) {red})"
     )
+
+
+def _doc_pipeline_v3_oracle_sql() -> str:
+    """Full SQL recompute of doc_pipeline_v3: the same PII augmentation →
+    redaction → blocklist build → boilerplate scrub → gates → 5-gram
+    decontamination → md5 keep-one dedup → salted-sha256 training mix →
+    per-source report, entirely in chained DuckDB CTEs."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+\d{1,3}[-. ]\d{3}[-. ]\d{4}"
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS t
+          FROM documents
+        ), red AS (
+          SELECT doc_id, source,
+                 (len(regexp_extract_all(t, '{email}'))
+                  + len(regexp_extract_all(t, '{ipv4}'))
+                  + len(regexp_extract_all(t, '{phone}'))) > 0 AS has_pii,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                     '{ipv4}', '<IP>', 'g'),
+                   '{phone}', '<PHONE>', 'g') AS rt
+          FROM aug
+        ), toks AS (
+          SELECT doc_id, source, has_pii,
+                 list_filter(string_split_regex(lower(rt), '[^a-z0-9]+'), t -> t <> '') AS tk
+          FROM red
+        ), gsets AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   list_transform(range(0, CASE WHEN len(tk) >= 3 THEN len(tk) - 3 + 1 ELSE 0 END),
+                                  i -> array_to_string(tk[i+1:i+3], ' ')),
+                   g -> g <> '')) AS gs
+          FROM toks
+        ), bl AS (
+          SELECT gram FROM (
+            SELECT gram, count(*) AS n_docs
+            FROM (SELECT doc_id, unnest(gs) AS gram FROM gsets)
+            GROUP BY gram HAVING count(*) >= 10
+            ORDER BY n_docs DESC, gram LIMIT 20)
+        ), posx AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, CASE WHEN len(tk) >= 3 THEN len(tk) - 3 + 1 ELSE 0 END),
+                   i -> struct_pack(i := i, L := len(tk),
+                                    gram := array_to_string(tk[i+1:i+3], ' ')))) AS u
+          FROM toks WHERE len(tk) > 0
+        ), pos AS (
+          SELECT doc_id, u.i AS i, u.L AS L, u.gram AS gram FROM posx
+        ), coveredx AS (
+          SELECT p.doc_id, unnest(range(p.i, least(p.i + 3, p.L))) AS j
+          FROM pos p JOIN bl USING (gram)
+        ), covered AS (
+          SELECT DISTINCT doc_id, j FROM coveredx
+        ), tokposx AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(tk)),
+                   j -> struct_pack(j := j, tok := tk[j+1]))) AS u
+          FROM toks
+        ), tokpos AS (
+          SELECT doc_id, u.j AS j, u.tok AS tok FROM tokposx
+        ), kept_tok AS (
+          SELECT tp.doc_id, tp.j, tp.tok
+          FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.j = c.j
+          WHERE c.doc_id IS NULL
+        ), agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text
+          FROM kept_tok GROUP BY doc_id
+        ), cov_n AS (
+          SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+        ), feats AS (
+          SELECT t.doc_id, t.source, t.has_pii,
+                 coalesce(a.clean_text, '') AS clean_text,
+                 coalesce(cn.n_removed, 0) AS n_removed,
+                 CASE WHEN coalesce(a.clean_text, '') = '' THEN 0
+                      ELSE len(string_split(a.clean_text, ' ')) END AS n_tokens,
+                 round(CASE WHEN coalesce(a.clean_text, '') = '' THEN 0
+                       ELSE CAST(len(list_distinct(string_split(a.clean_text, ' '))) AS DOUBLE)
+                            / len(string_split(a.clean_text, ' ')) END, 6) AS distinct_ratio
+          FROM toks t
+          LEFT JOIN agg a USING (doc_id)
+          LEFT JOIN cov_n cn USING (doc_id)
+        ), win AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN n_tokens >= 5
+                   THEN list_transform(generate_series(1, n_tokens - 4),
+                        i -> concat_ws(' ', ct[i], ct[i+1], ct[i+2], ct[i+3], ct[i+4]))
+                   ELSE CAST([] AS VARCHAR[]) END) AS ws
+          FROM (SELECT doc_id, n_tokens, string_split(clean_text, ' ') AS ct FROM feats)
+        ), bench AS (
+          SELECT DISTINCT unnest(ws) AS g FROM win WHERE doc_id % 97 = 0
+        ), contam AS (
+          SELECT DISTINCT e.doc_id
+          FROM (SELECT doc_id, unnest(ws) AS g FROM win) e
+          JOIN bench b ON e.g = b.g
+        ), gated AS (
+          SELECT f.* FROM feats f
+          LEFT JOIN contam c USING (doc_id)
+          WHERE f.n_tokens >= 15 AND f.distinct_ratio >= 0.3 AND c.doc_id IS NULL
+        ), keep AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(clean_text)
+        ), kept AS (
+          SELECT g.* FROM gated g JOIN keep k USING (doc_id)
+        ), mixed AS (
+          SELECT * FROM kept WHERE CASE
+            WHEN source = 'src0' THEN TRUE
+            WHEN source = 'src1' THEN substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '800000'
+            WHEN source = 'src2' THEN substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '400000'
+            WHEN source = 'src3' THEN FALSE
+            ELSE substr(sha256('s1:' || CAST(doc_id AS VARCHAR)), 1, 6) < '200000'
+          END
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_removed) AS BIGINT) AS boilerplate_tokens_removed,
+               CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+               min(distinct_ratio) AS min_distinct_ratio,
+               max(distinct_ratio) AS max_distinct_ratio
+        FROM mixed GROUP BY source
+    """
 
 
 def _substring_oracle_sql(min_tokens: int = 10, min_count: int = 2) -> str:
@@ -2065,70 +2275,78 @@ def _ann_ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> 
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver correctness board caps at the FIRST 50
+    # entries.  The first 50 below are (a) every SURVEY.md-§2-mapped entry
+    # and (b) the full LLM-data-pipeline surface incl. the newest operators,
+    # so each coverage row cites a CURRENT-round board row.  The tail holds
+    # demo/duplicate-coverage entries (still oracle-checked locally by
+    # tools/check_oracles.py, which runs ALL of them).
     return {
-        "m1_lww_latest_state": q_m1_lww_latest_state,
-        "m2_lww_final_no_deletes": q_m2_lww_final_no_deletes,
-        "m3_append_changelog": q_m3_append_changelog,
-        "m7_commit_batches": q_m7_commit_batches,
+        "cdc_replay_e2e": q_cdc_replay_e2e,
+        "s5_snapshot_chunks": q_s5_snapshot_chunks,
+        "s6_canal_roundtrip": q_s6_canal_roundtrip,
+        "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
+        "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
+        "s7_mongo_oplog": q_s7_mongo_oplog,
         "f2_event_type_filter": q_f2_event_type_filter,
         "f6_wildcard_route": q_f6_wildcard_route,
+        "f8_fanout": q_f8_fanout,
         "f9_stale_skip": q_f9_stale_skip,
         "f11_noop_suppression": q_f11_noop_suppression,
         "f13_split_rows": q_f13_split_rows,
         "f14_template_projection": q_f14_template_projection,
+        "m1_lww_latest_state": q_m1_lww_latest_state,
+        "m2_lww_final_no_deletes": q_m2_lww_final_no_deletes,
+        "m3_append_changelog": q_m3_append_changelog,
+        "m5_redis_kv": q_m5_redis_kv,
+        "m5_es_bulk": q_m5_es_bulk,
+        "m5_mongo_ops": q_m5_mongo_ops,
+        "m6_kafka_messages": q_m6_kafka_messages,
+        "m7_commit_batches": q_m7_commit_batches,
+        "m9_dead_letter": q_m9_dead_letter,
         "a1_flow_counters": q_a1_flow_counters,
         "a2_table_counts": q_a2_table_counts,
         "a3_min_position": q_a3_min_position,
         "c1_manifest_ranges": q_c1_manifest_ranges,
-        "s5_snapshot_chunks": q_s5_snapshot_chunks,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q_broadcast_dim_join": q_broadcast_dim_join,
+        "c3_position_scan": q_c3_position_scan,
+        "cdc_changes_between": q_cdc_changes_between,
         "dedup_exact": q_dedup_exact,
-        "demo_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_substring": q_dedup_substring,
         "sim_topk_cosine": q_sim_topk_cosine,
-        "emb_norm_stats": q_emb_norm_stats,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
-        "cdc_replay_e2e": q_cdc_replay_e2e,
-        "cdc_changes_between": q_cdc_changes_between,
-        "m9_dead_letter": q_m9_dead_letter,
-        "m5_redis_kv": q_m5_redis_kv,
-        "m5_es_bulk": q_m5_es_bulk,
-        "m5_mongo_ops": q_m5_mongo_ops,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_lsh_xx": q_dedup_minhash_lsh_xx,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_substring": q_dedup_substring,
-        "text_repetition": q_text_repetition,
+        "text_common_ngrams": q_text_common_ngrams,
+        "text_scrub_boilerplate": q_text_scrub_boilerplate,
         "pii_scrub": q_pii_scrub,
+        "event_sessions": q_event_sessions,
+        "sample_training_mix": q_sample_training_mix,
+        "doc_pipeline_v2": q_doc_pipeline_v2,
+        "doc_pipeline_v3": q_doc_pipeline_v3,
+        "mm_feature_extract": q_mm_feature_extract,
+        # ---- below the 50-entry driver-board line ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q_broadcast_dim_join": q_broadcast_dim_join,
+        "demo_jaccard_pairs": q_dedup_jaccard_pairs,
+        "emb_norm_stats": q_emb_norm_stats,
+        "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
-        "sample_training_mix": q_sample_training_mix,
-        "text_common_ngrams": q_text_common_ngrams,
-        "event_sessions": q_event_sessions,
         "corpus_stats": q_corpus_stats,
-        "text_scrub_boilerplate": q_text_scrub_boilerplate,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
         "doc_pipeline": q_doc_pipeline,
-        "doc_pipeline_v2": q_doc_pipeline_v2,
-        "s6_canal_roundtrip": q_s6_canal_roundtrip,
-        "s6_debezium_roundtrip": q_s6_debezium_roundtrip,
-        "s6_customer_json_roundtrip": q_s6_customer_json_roundtrip,
         "s6_string_roundtrip": q_s6_string_roundtrip,
-        "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_video_frames": q_mm_video_frames,
-        "m6_kafka_messages": q_m6_kafka_messages,
-        "s7_mongo_oplog": q_s7_mongo_oplog,
-        "f8_fanout": q_f8_fanout,
-        "c3_position_scan": q_c3_position_scan,
     }
 
 
@@ -2641,7 +2859,7 @@ def oracle_sql() -> dict[str, str]:
             ), gsets AS (
               SELECT doc_id,
                      list_distinct(list_filter(
-                       list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                       list_transform(range(0, CASE WHEN len(tk) >= 3 THEN len(tk) - 3 + 1 ELSE 0 END),
                                       i -> array_to_string(tk[i+1:i+3], ' ')),
                        g -> g <> '')) AS gs
               FROM toks
@@ -2655,7 +2873,7 @@ def oracle_sql() -> dict[str, str]:
               -- range() can't take correlated args in DuckDB; build the
               -- (i, L, gram) tuples as a list per doc and unnest it
               SELECT doc_id,
-                     unnest(list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                     unnest(list_transform(range(0, CASE WHEN len(tk) >= 3 THEN len(tk) - 3 + 1 ELSE 0 END),
                        i -> struct_pack(i := i, L := len(tk),
                                         gram := array_to_string(tk[i+1:i+3], ' ')))) AS u
               FROM toks WHERE len(tk) > 0
@@ -2715,7 +2933,7 @@ def oracle_sql() -> dict[str, str]:
             ), grams AS (
               SELECT doc_id,
                      list_distinct(list_filter(
-                       list_transform(range(0, greatest(len(tk) - 3, 0) + 1),
+                       list_transform(range(0, CASE WHEN len(tk) >= 3 THEN len(tk) - 3 + 1 ELSE 0 END),
                                       i -> array_to_string(tk[i+1:i+3], ' ')),
                        g -> g <> '')) AS gs
               FROM toks
@@ -2774,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         # v2 = v1 + the Gopher repetition gates + the decontamination scrub,
         # all recomputed: ascii tokens ([^a-z0-9]+) for the features/windows,
         # space tokens for the class scorer (matching the Spark stages)
+        "doc_pipeline_v3": _doc_pipeline_v3_oracle_sql(),
         "doc_pipeline_v2": """
             WITH tk AS (
               SELECT doc_id, text,

@@ -55,7 +55,14 @@ def poly_hash(col: Column, mod: int | None = None, mask: int | None = None) -> C
 
 
 def shingles(text_col: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
-    """Word n-gram shingle set (distinct), as hashed 64-bit values."""
+    """Word n-gram shingle set (distinct), as hashed 64-bit values.
+
+    Docs shorter than n tokens emit ONE partial shingle — intentional here
+    (a short doc still needs a non-empty signature to participate in
+    MinHash at all; the Arrow kernel, expr path, XXH64 twin, and DuckDB
+    oracles all match).  The BLOCKLIST gram family (text.common_ngrams /
+    remove_boilerplate) deliberately differs: there a partial gram would
+    let a shared short phrase scrub whole short docs, so it emits none."""
     toks = _tokens_ascii(text_col) if hash_fn == "poly" else _tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))

@@ -52,12 +52,12 @@ def pii_signals(docs: DataFrame, text_col: str = "text",
 
 
 def scrub(docs: DataFrame, text_col: str = "text",
-          id_col: str = "doc_id") -> DataFrame:
+          id_col: str = "doc_id", keep: list[str] | None = None) -> DataFrame:
     """Signals AND redaction in ONE scan projection: (doc_id, n_email,
-    n_ipv4, n_phone, has_pii, text_redacted).  The shape pipelines want —
-    counting and replacing in the same pass costs one regex sweep per
-    pattern either way, and fusing them avoids a doc_id join (a shuffle)
-    between the two halves."""
+    n_ipv4, n_phone, has_pii, text_redacted, *keep).  The shape pipelines
+    want — counting and replacing in the same pass costs one regex sweep
+    per pattern either way, and fusing them avoids a doc_id join (a
+    shuffle) between the two halves."""
     counts = []
     total = None
     for name, (pat, _) in PII_PATTERNS.items():
@@ -72,6 +72,7 @@ def scrub(docs: DataFrame, text_col: str = "text",
         *counts,
         (total > 0).alias("has_pii"),
         red.alias("text_redacted"),
+        *[F.col(c) for c in (keep or [])],
     )
 
 

@@ -307,7 +307,10 @@ def _distinct_grams_pandas(n: int):
                 out.append([])
                 continue
             toks = [w for w in pat.split(t.lower()) if w]
-            gs = [" ".join(toks[i:i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+            # docs shorter than n emit NO grams (a partial gram would let a
+            # shared short phrase enter the blocklist and scrub whole short
+            # docs); oracles and the expr path match this exactly
+            gs = [" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))]
             out.append(list(dict.fromkeys(g for g in gs if g)))
         return pd.Series(out)
 
@@ -353,7 +356,9 @@ def common_ngrams(
         from bifrost_spark.functions.dedup import _tokens_ascii as _ta
 
         toks = _ta(F.col(text_col))
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
         grams = F.filter(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
             lambda g: g != "",
@@ -377,12 +382,13 @@ def remove_boilerplate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """The scrub half of the blocklist loop (build with ``common_ngrams``):
     drop every token position covered by an occurrence of a blocklisted
     word n-gram, rebuild the NORMALIZED text (lowercase ascii tokens joined
     by single spaces — the domain the grams were built over).  Returns
-    (doc_id, clean_text, n_removed).
+    (doc_id, clean_text, n_removed, *keep).
 
     ``blocklist`` is a plain Python list by design: it is top-N output
     (metadata-scale, ≤ ~10^5 grams), shipped to executors in the UDF
@@ -401,14 +407,15 @@ def remove_boilerplate(
         for t in texts:
             toks = [] if t is None else [w for w in pat.split(t.lower()) if w]
             covered: set = set()
-            for i in range(max(len(toks) - n, 0) + 1):
-                if toks and " ".join(toks[i:i + n]) in bl:
-                    covered.update(range(i, min(i + n, len(toks))))
+            for i in range(max(len(toks) - n + 1, 0)):
+                if " ".join(toks[i:i + n]) in bl:
+                    covered.update(range(i, i + n))
             clean.append(" ".join(t for j, t in enumerate(toks) if j not in covered))
             removed.append(len(covered))
         return pd.DataFrame({"clean_text": clean, "n_removed": removed})
 
     udf = F.pandas_udf("clean_text string, n_removed long")(kernel)
-    return docs.select(F.col(id_col), udf(F.col(text_col)).alias("_s")) \
+    kcols = [F.col(c) for c in (keep or [])]
+    return docs.select(F.col(id_col), udf(F.col(text_col)).alias("_s"), *kcols) \
                .select(id_col, F.col("_s.clean_text").alias("clean_text"),
-                       F.col("_s.n_removed").alias("n_removed"))
+                       F.col("_s.n_removed").alias("n_removed"), *(keep or []))
