@@ -1765,7 +1765,15 @@ def q_doc_pipeline_v3(spark, sf_dir):
     no PII, so the same deterministic augmentation as the pii_scrub entry
     injects it (mirrored in the oracle).  Scale notes: two corpus-wide
     shuffles total (gram count, dedup window); every other stage is a scan
-    projection, a broadcast probe, or a metadata collect."""
+    projection, a broadcast probe, or a metadata collect.  The post-scrub
+    feature frame is PERSISTED (register_cache, narrow columns only):
+    three consumers need it (quality gate, contamination corpus probe,
+    benchmark-gram derivation), and without materialization Catalyst
+    re-evaluates the Arrow scrub kernel once per consumer — 4 kernel
+    passes over the corpus instead of 1 (plan audit §12 pins the count).
+    At 100 TB this stage boundary is where a production pipeline would
+    write an intermediate table; MEMORY_AND_DISK persist is the
+    single-job equivalent."""
     from pyspark.sql.window import Window
 
     from bifrost_spark.functions.decontam import contaminated_ids
@@ -1801,11 +1809,13 @@ def q_doc_pipeline_v3(spark, sf_dir):
     ratio = F.when(n_tok > 0,
                    F.size(F.array_distinct(toks)) / n_tok.cast("double")
                    ).otherwise(F.lit(0.0))
-    feats = scrubbed.select(
+    from bifrost_spark.functions.cache import register_cache
+
+    feats = register_cache(scrubbed.select(
         "doc_id", "source", "has_pii", "n_removed", "clean_text",
         n_tok.cast("long").alias("n_tokens"),
         F.round(ratio, 6).alias("distinct_ratio"),
-    )
+    ))
     contam = contaminated_ids(
         feats, feats.filter(did % 97 == 0), n=5,
         text_col="clean_text", hash_fn="none",

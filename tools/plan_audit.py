@@ -320,6 +320,34 @@ def main() -> int:
     ]
     sections.append(("dedup_substring — linear window count, key-equality cover join", p, checks))
 
+    # 12. doc_pipeline_v3: the COMPLETE pretraining-prep chain (PII redact →
+    # blocklist scrub → gates → decontam → dedup → mix → report).  The PII
+    # redaction and quality gates must ride scans/projections (regexp
+    # expressions, no Python), the boilerplate scrub is ONE Arrow kernel
+    # over the corpus (blocklist in the closure — no corpus-side join for
+    # it), decontamination is a broadcast LEFT ANTI (ids move, docs don't),
+    # the keep-one dedup shuffles on the md5 of the scrubbed text, and the
+    # training mix is a scan-stage filter (sha-prefix CASE — adds NO
+    # exchange of its own).
+    v3 = entry.queries()["doc_pipeline_v3"](spark, "/root/testdata/sf0.001")
+    p = formatted(v3)
+    checks = [
+        ("no quadratic join anywhere (no cartesian / nested-loop node)",
+         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("boilerplate scrub is ONE physical Arrow kernel, materialized once "
+         "— every consumer (gate, contamination probe, benchmark grams) "
+         "reads the persisted feature frame, so the kernel never re-runs",
+         len(set(re.findall(r"\((\d+)\) ArrowEvalPython", p))) == 1
+         and p.count("InMemoryTableScan") >= 3),
+        ("contamination scrub is a broadcast LEFT ANTI join",
+         "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("keep-one dedup window shuffles on the md5 hash partition key",
+         "hashpartitioning(md5" in p or "hashpartitioning(_w" in p),
+        ("final report aggregate has a map-side partial combine",
+         "partial_count" in p or "partial_sum" in p),
+    ]
+    sections.append(("doc_pipeline_v3 — scan-stage gates, one Arrow scrub, broadcast anti, md5 dedup window", p, checks))
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by tools/plan_audit.py (also a regression gate: each check",
