@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from bifrost_spark.functions.cache import register_cache
-from bifrost_spark.functions.dedup import _MERSENNE, _tokens
+from bifrost_spark.functions.dedup import _MERSENNE, _tokens_ascii
 from bifrost_spark.functions.spread import spread_for_compute
 
 # window-fold bases for the two independent key halves (mod _MERSENNE)
@@ -133,9 +133,15 @@ def _window_keys_poly(min_tokens: int):
 
 def _window_keys_xx(text_col: Column, min_tokens: int) -> Column:
     """Expression twin for the xxhash64 throughput mode: window key = JVM
-    xxhash64 over the space-joined window — no Python in the window pass."""
+    xxhash64 over the space-joined window — no Python in the window pass.
+
+    Tokenizer MUST be ``_tokens_ascii``, not the Unicode ``_tokens``: the
+    scrub kernel retokenizes with the Python ASCII twin (``_toks_py``), and
+    window START POSITIONS are token indices — a Unicode window pass over a
+    non-ASCII doc would yield indices into a different token sequence and
+    silently scrub the wrong tokens."""
     L = min_tokens
-    toks = _tokens(text_col)
+    toks = _tokens_ascii(text_col)
     idx = F.when(
         F.size(toks) >= L,
         F.sequence(F.lit(0), F.size(toks) - L),

@@ -112,3 +112,22 @@ def test_tokenizer_twin_matches_engine_tokens():
     s = "Hello, WORLD!! 42 foo_bar baz-qux  "
     assert _toks_py(s) == [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
     assert _toks_py(None) == []
+
+
+def test_non_ascii_positions_align(spark):
+    """Regression: the xx window pass must tokenize exactly like the scrub
+    kernel's Python twin.  Non-ASCII chars shift token indices under a
+    Unicode tokenizer ("café" = 1 token) vs the ASCII twin ("caf","e" —
+    with é dropped), so a Unicode window pass would emit start positions
+    into the wrong token sequence and scrub the wrong tokens."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    texts = [
+        f"café déjà naïve {shared} coda0",           # non-ASCII prefix shifts indices
+        f"intro1 {shared} œuf garçon",
+        "unrelated wörds häre nothing répeated at all today folks",
+    ]
+    expected = ref_scrub(texts)
+    for hash_fn in ("poly", "xxhash64"):
+        got = _run(spark, texts, hash_fn)
+        for i, exp in enumerate(expected):
+            assert got[i] == exp, (hash_fn, i, got[i], exp)
