@@ -1840,6 +1840,20 @@ def q_doc_pipeline_v3(spark, sf_dir):
     )
 
 
+def q_sim_ann_pq(spark, sf_dir):
+    """ANN scale path #3: product quantization (FAISS PQ building block) —
+    the MEMORY-bounded path: vectors compress to m one-byte codes, queries
+    scan the coded corpus with an integer-quantized distance lookup table.
+    Everything is exact-integer after quantization (round(sqL2*1e6) as
+    int64), so the DuckDB oracle recomputes codebook, codes, LUT, ADC sums
+    and ranking bit-identically — no float-order caveats at all."""
+    from bifrost_spark.functions.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    return pq_topk(emb, q, dim=64, k=5, m=4, n_codes=16)
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF coarse quantizer (FAISS-style) — deterministic
     hash-sampled centroids, broadcast cell assignment with map-side argmax,
@@ -2233,6 +2247,64 @@ def _ann_lsh_oracle_sql(dim: int = 64, k: int = 5, n_planes: int = 8,
     """
 
 
+def _ann_pq_oracle_sql(k: int = 5, m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """Full SQL recompute of pq_topk: same multiplicative-hash codebook
+    sample, same subspace slices, same integer-quantized squared-L2
+    (round(sq*1e6) AS BIGINT, ties to the lowest code id), same exact
+    integer ADC sums, same (adist asc, neighbor asc) top-k.  The per-
+    subspace fold is sequential left-to-right like the engine's
+    F.aggregate with init 0.0 ((0.0 + t1) == t1 bit-exactly), so even the
+    pre-quantization doubles agree."""
+    M = (1 << 31) - 1
+    d = dim // m
+
+    def sq(a: str, b: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {d + 1}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        ), cbrow AS (
+          SELECT row_number() OVER (ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id)
+                   AS code, v
+          FROM e ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id LIMIT {n_codes}
+        ), cb AS (
+          SELECT code, u.sub AS sub, u.sv AS codev FROM (
+            SELECT code, unnest(list_transform(range(0, {m}),
+                     s -> struct_pack(sub := s, sv := v[s*{d}+1 : s*{d}+{d}]))) AS u
+            FROM cbrow)
+        ), esub AS (
+          SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+            SELECT vec_id, unnest(list_transform(range(0, {m}),
+                     s -> struct_pack(sub := s, sv := v[s*{d}+1 : s*{d}+{d}]))) AS u
+            FROM e)
+        ), encdist AS (
+          SELECT es.vec_id, es.sub, cb.code,
+                 CAST(round({sq('es.sv', 'cb.codev')} * 1e6) AS BIGINT) AS dq
+          FROM esub es JOIN cb ON es.sub = cb.sub
+        ), codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dq ASC, code ASC) AS rnk
+            FROM encdist) WHERE rnk = 1
+        ), adc AS (
+          SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(sum(l.dq) AS BIGINT) AS adist
+          FROM codes c
+          JOIN encdist l ON l.sub = c.sub AND l.code = c.code
+          WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _ann_ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
     """Full SQL recompute of ivf_topk: same multiplicative-hash centroid
     sample (pure BIGINT arithmetic — no RNG), same quantized (round-6) cell
@@ -2355,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "doc_pipeline": q_doc_pipeline,
         "s6_string_roundtrip": q_s6_string_roundtrip,
+        "sim_ann_pq": q_sim_ann_pq,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_video_frames": q_mm_video_frames,
     }
@@ -2968,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "sim_ann_ivf": _ann_ivf_oracle_sql(),
+        "sim_ann_pq": _ann_pq_oracle_sql(),
         "doc_pipeline": """
             WITH scored AS (
               SELECT doc_id, text,

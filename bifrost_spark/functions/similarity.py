@@ -403,3 +403,122 @@ def lsh_bucketed_topk(
         .dropDuplicates([query_id_col, "neighbor_id"])  # ×n_tables duplicates
     )
     return _rerank_topk(pairs, q, c, k, query_id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: bool = False,
+) -> DataFrame:
+    """ANN scale path #3: product quantization (Jégou et al. 2011, the
+    FAISS ``PQ``/``IVFPQ`` building block) — the MEMORY-bounded ANN path.
+    LSH (``lsh_bucketed_topk``) and IVF (``ivf_topk``) prune *candidates*;
+    PQ compresses the *vectors themselves*: each ``dim``-float embedding
+    (256 B at dim=64) becomes ``m`` one-byte codes (4 B) — at 100 TB of
+    raw embeddings the PQ index is ~1.5 TB and fits a modest cluster's
+    RAM, which is the entire point of the technique.
+
+    1. **Sub-codebooks**: ``dim`` splits into ``m`` subspaces of dim/m.
+       The codebook rows are ``n_codes`` corpus vectors picked by the same
+       deterministic multiplicative id-hash as ``ivf_topk`` (no RNG, any
+       engine reproduces the index from the ids alone), each sliced into
+       its m subvectors.  Production quality would Lloyd-refine per
+       subspace exactly like ``ivf_topk(refine_iters>0)``; the
+       oracle-checked form keeps the raw sample.
+    2. **Encoding**: per (vector, subspace), the nearest code by QUANTIZED
+       squared-L2 — ``round(sqdist * 1e6)`` as int64, ties to the lowest
+       code id — so assignment is engine-exact.  One broadcast join against
+       the m×n_codes codebook, map-side ``min_by`` partial combine: the
+       only shuffled payload is (id, sub, code).
+    3. **ADC scan**: a query builds its (sub, code) → distance lookup
+       table against the SAME broadcast codebook (integer-quantized like
+       the encode step, so the cross-subspace SUM is exact integer
+       arithmetic — order-independent on any engine).  Approximate distance
+       of a corpus vector = sum of m LUT hits on its codes; smallest wins.
+
+    Scale shape: the corpus never self-joins and never moves its float
+    vectors — the ADC scan streams (id, sub, code) rows against a
+    broadcast LUT with a map-side partial sum; the shuffle is (query,
+    neighbor, partial-dist).  ADC is by design a LINEAR scan of the coded
+    corpus per query (that is what makes it exact-recall@code-resolution);
+    at 10^9+ vectors compose it with the IVF coarse quantizer (probe cells
+    via ``ivf_topk``'s assignment, ADC only within probed cells) exactly
+    as FAISS ``IVFPQ`` does.
+
+    ``rerank=True`` re-ranks the ADC top-(4k) by exact cosine via the
+    shared ``_rerank_topk`` tail (recall recovery at the cost of fetching
+    4k float vectors per query); the oracle-checked entry uses the pure
+    ADC form, whose integer distances are bit-reproducible everywhere.
+
+    Output: (query_id, neighbor_id, rank, adist) — adist is the integer
+    quantized ADC squared-L2 (smaller = closer) — or the ``_rerank_topk``
+    contract (rank, sim) when ``rerank=True``.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    M = (1 << 31) - 1
+
+    c = register_cache(
+        spread_for_compute(corpus).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    q = register_cache(
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    )
+
+    def subs(vcol: str) -> Column:
+        return F.posexplode(F.array(*[F.slice(F.col(vcol), s * d + 1, d) for s in range(m)]))
+
+    # codebook: hash-sampled rows (TakeOrderedAndProject, never a full
+    # corpus sort — same audited shape as ivf_topk), sliced into subspaces
+    ckey = F.pmod(F.pmod(F.col("neighbor_id"), F.lit(M)) * F.lit(2654435761) + F.lit(12345), F.lit(M))
+    cb = register_cache(
+        c.withColumn("ckey", ckey)
+        .orderBy("ckey", "neighbor_id")
+        .limit(n_codes)
+        .select(
+            F.row_number().over(Window.orderBy("ckey", "neighbor_id")).alias("code"),
+            F.col("cv").alias("fullv"),
+        )
+        .select("code", subs("fullv").alias("sub", "codev"))
+    )
+
+    def qdist(u: Column, v: Column) -> Column:
+        sq = F.aggregate(F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(sq * F.lit(1e6)).cast("long")
+
+    enc = (
+        c.select("neighbor_id", subs("cv").alias("sub", "sv"))
+        .join(F.broadcast(cb), "sub")
+        .select("neighbor_id", "sub",
+                F.col("code"), qdist(F.col("sv"), F.col("codev")).alias("dq"))
+        .groupBy("neighbor_id", "sub")
+        .agg(F.min_by("code", F.struct("dq", "code")).alias("code"))
+    )
+    lut = (
+        q.select(query_id_col, subs("qv").alias("sub", "sv"))
+        .join(F.broadcast(cb), "sub")
+        .select(query_id_col, "sub", "code", qdist(F.col("sv"), F.col("codev")).alias("dq"))
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("dq").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    ranked = adc.withColumn("rank", F.row_number().over(w))
+    if rerank:
+        pairs = ranked.filter(F.col("rank") <= 4 * k).select(query_id_col, "neighbor_id")
+        return _rerank_topk(pairs, q, c, k, query_id_col)
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
