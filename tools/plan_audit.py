@@ -348,6 +348,32 @@ def main() -> int:
     ]
     sections.append(("doc_pipeline_v3 — scan-stage gates, one Arrow scrub, broadcast anti, md5 dedup window", p, checks))
 
+    # 13. pq_topk: the memory-bounded ANN path — codebook seed must be a
+    # bounded TakeOrderedAndProject (never a full corpus sort), both the
+    # codebook join (encode) and the LUT join (ADC scan) must be BROADCAST
+    # (the float corpus never shuffles), and the two aggregates (per-(id,
+    # sub) argmin code, per-(query, neighbor) ADC sum) must have map-side
+    # partial combines.
+    from bifrost_spark.functions.similarity import pq_topk
+
+    pq = pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        dim=64, k=3, m=4, n_codes=8,
+    )
+    p = formatted(pq)
+    checks = [
+        ("codebook seed scan is TakeOrderedAndProject (bounded partial top-K)",
+         "TakeOrderedAndProject" in p),
+        ("no quadratic join (no cartesian / nested-loop node)",
+         "CartesianProduct" not in p),
+        ("codebook and LUT both arrive by broadcast (float corpus never shuffles to meet them)",
+         n_nodes(p, "BroadcastHashJoin") >= 2),
+        ("encode argmin and ADC sum both partial-combine map-side",
+         "partial_min_by" in p and "partial_sum" in p),
+    ]
+    sections.append(("pq_topk — bounded codebook seed, broadcast encode/ADC, partial combines", p, checks))
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by tools/plan_audit.py (also a regression gate: each check",
