@@ -1854,6 +1854,18 @@ def q_sim_ann_pq(spark, sf_dir):
     return pq_topk(emb, q, dim=64, k=5, m=4, n_codes=16)
 
 
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """ANN scale composition: FAISS-IVFPQ shape — IVF cells prune the
+    candidate set, PQ codes + an integer LUT score the survivors; the float
+    corpus is touched only at index build.  The DuckDB oracle recomputes
+    BOTH halves bit-identically (round-6 cell scores, integer ADC sums)."""
+    from bifrost_spark.functions.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    return ivfpq_topk(emb, q, dim=64, k=5, n_centroids=16, n_probe=4, m=4, n_codes=16)
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF coarse quantizer (FAISS-style) — deterministic
     hash-sampled centroids, broadcast cell assignment with map-side argmax,
@@ -2305,6 +2317,82 @@ def _ann_pq_oracle_sql(k: int = 5, m: int = 4, n_codes: int = 16, dim: int = 64)
     """
 
 
+def _ann_ivfpq_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+                          m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """Full SQL recompute of ivfpq_topk: the IVF candidate CTEs (same as
+    _ann_ivf_oracle_sql up to `pairs`) composed with the PQ code/LUT CTEs
+    (same as _ann_pq_oracle_sql), ADC-summed over candidates only."""
+    M = (1 << 31) - 1
+    d = dim // m
+
+    def sq(a: str, b: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {d + 1}), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        ), cents AS (
+          SELECT row_number() OVER (ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id)
+                   AS centroid_id, v AS centv
+          FROM e ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id LIMIT {n_centroids}
+        ), cscores AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centv, c.centv))), 6) AS csim
+          FROM e CROSS JOIN cents c
+        ), assign AS (
+          SELECT vec_id AS neighbor_id, centroid_id AS cell FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rnk
+            FROM cscores) WHERE rnk = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, centroid_id AS cell FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rnk
+            FROM cscores WHERE vec_id < 20) WHERE rnk <= {n_probe}
+        ), pairs AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id
+          FROM probes p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+        ), cbrow AS (
+          SELECT row_number() OVER (ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id)
+                   AS code, v
+          FROM e ORDER BY ((vec_id % {M}) * 2654435761 + 12345) % {M}, vec_id LIMIT {n_codes}
+        ), cb AS (
+          SELECT code, u.sub AS sub, u.sv AS codev FROM (
+            SELECT code, unnest(list_transform(range(0, {m}),
+                     s -> struct_pack(sub := s, sv := v[s*{d}+1 : s*{d}+{d}]))) AS u
+            FROM cbrow)
+        ), esub AS (
+          SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+            SELECT vec_id, unnest(list_transform(range(0, {m}),
+                     s -> struct_pack(sub := s, sv := v[s*{d}+1 : s*{d}+{d}]))) AS u
+            FROM e)
+        ), encdist AS (
+          SELECT es.vec_id, es.sub, cb.code,
+                 CAST(round({sq('es.sv', 'cb.codev')} * 1e6) AS BIGINT) AS dq
+          FROM esub es JOIN cb ON es.sub = cb.sub
+        ), codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dq ASC, code ASC) AS rnk
+            FROM encdist) WHERE rnk = 1
+        ), adc AS (
+          SELECT p.query_id, p.neighbor_id, CAST(sum(l.dq) AS BIGINT) AS adist
+          FROM pairs p
+          JOIN codes cd ON cd.vec_id = p.neighbor_id
+          JOIN encdist l ON l.vec_id = p.query_id AND l.sub = cd.sub AND l.code = cd.code
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _ann_ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
     """Full SQL recompute of ivf_topk: same multiplicative-hash centroid
     sample (pure BIGINT arithmetic — no RNG), same quantized (round-6) cell
@@ -2428,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pipeline": q_doc_pipeline,
         "s6_string_roundtrip": q_s6_string_roundtrip,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_video_frames": q_mm_video_frames,
     }
@@ -3042,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "sim_ann_ivf": _ann_ivf_oracle_sql(),
         "sim_ann_pq": _ann_pq_oracle_sql(),
+        "sim_ann_ivfpq": _ann_ivfpq_oracle_sql(),
         "doc_pipeline": """
             WITH scored AS (
               SELECT doc_id, text,

@@ -262,7 +262,6 @@ def ivf_topk(
     Like the LSH path, vectors are late-materialized: candidates carry only
     ids until the final re-rank fetches the two vectors per pair.
     """
-    M = (1 << 31) - 1
     # both sides are consumed twice (cell scoring + final re-rank), and the
     # centroid plan twice more (assign + probes) — persist the narrow
     # projections like the LSH path does (callers release via
@@ -274,6 +273,19 @@ def ivf_topk(
     q = register_cache(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     )
+    pairs = _ivf_candidate_pairs(c, q, n_centroids, n_probe, query_id_col, refine_iters)
+    return _rerank_topk(pairs, q, c, k, query_id_col)
+
+
+def _ivf_candidate_pairs(c: DataFrame, q: DataFrame, n_centroids: int,
+                         n_probe: int, query_id_col: str,
+                         refine_iters: int = 0) -> DataFrame:
+    """The candidate-producing half of ``ivf_topk`` (see its docstring):
+    hash-sampled centroids → broadcast cell assignment (map-side max_by) →
+    per-query n_probe cell probing → cell-equality join.  Returns
+    (query_id, neighbor_id) pairs; shared by ``ivf_topk`` (exact-cosine
+    re-rank tail) and ``ivfpq_topk`` (PQ/ADC scoring tail)."""
+    M = (1 << 31) - 1
 
     # pre-mod the id: both factors stay < 2^31.3, so the product tops out at
     # ~5.3e18 < int64 max for ANY id range — without it, vec_id ≈ 3.5e9
@@ -351,12 +363,11 @@ def ivf_topk(
     # no dedup needed (unlike the multi-table LSH path): each corpus vector
     # lives in exactly ONE cell and a query's probe cells are distinct, so a
     # (query, neighbor) pair can arise from at most one cell-join row.
-    pairs = (
+    return (
         probes.join(assign, on="cell")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .select(query_id_col, "neighbor_id")
     )
-    return _rerank_topk(pairs, q, c, k, query_id_col)
 
 
 def lsh_bucketed_topk(
@@ -461,11 +472,6 @@ def pq_topk(
     quantized ADC squared-L2 (smaller = closer) — or the ``_rerank_topk``
     contract (rank, sim) when ``rerank=True``.
     """
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    d = dim // m
-    M = (1 << 31) - 1
-
     c = register_cache(
         spread_for_compute(corpus).select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
@@ -473,6 +479,32 @@ def pq_topk(
     q = register_cache(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     )
+    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col)
+    adc = (
+        enc.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("dq").alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    ranked = adc.withColumn("rank", F.row_number().over(w))
+    if rerank:
+        pairs = ranked.filter(F.col("rank") <= 4 * k).select(query_id_col, "neighbor_id")
+        return _rerank_topk(pairs, q, c, k, query_id_col)
+    return ranked.filter(F.col("rank") <= k).select(
+        query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+
+
+def _pq_parts(c: DataFrame, q: DataFrame, dim: int, m: int, n_codes: int,
+              query_id_col: str) -> tuple[DataFrame, DataFrame]:
+    """The index-building half of ``pq_topk`` (see its docstring): returns
+    ``enc`` = per-(neighbor_id, sub) nearest code and ``lut`` = per-(query,
+    sub, code) integer-quantized distance table.  Shared by ``pq_topk``
+    (full ADC scan) and ``ivfpq_topk`` (ADC over IVF candidates only)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    M = (1 << 31) - 1
 
     def subs(vcol: str) -> Column:
         return F.posexplode(F.array(*[F.slice(F.col(vcol), s * d + 1, d) for s in range(m)]))
@@ -509,16 +541,56 @@ def pq_topk(
         .join(F.broadcast(cb), "sub")
         .select(query_id_col, "sub", "code", qdist(F.col("sv"), F.col("codev")).alias("dq"))
     )
+    return enc, lut
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The FAISS ``IVFPQ`` composition — the 10^9+-vector shape both halves
+    document as their scale path: the IVF coarse quantizer prunes
+    CANDIDATES (probe ``n_probe`` of ``n_centroids`` cells — the linear ADC
+    scan shrinks by ~n_probe/n_centroids) while PQ compresses the VECTORS
+    (candidates are scored from m-byte codes against a broadcast integer
+    LUT — the float corpus is touched only to build the index).  This
+    non-residual variant codes raw vectors (FAISS's residual coding trades
+    oracle-exactness for recall; same trade as ``ivf_topk(refine_iters)``,
+    and the deterministic form is what the DuckDB oracle recomputes
+    bit-identically).
+
+    Scale shape: union of the two halves' — the corpus never self-joins,
+    never moves its floats (cell assignment and encoding each shuffle
+    narrow (id, small-int) rows once at index build), and per query the
+    only per-candidate work is m integer LUT hits.  Output: the ``pq_topk``
+    contract (query_id, neighbor_id, rank, adist)."""
+    c = register_cache(
+        spread_for_compute(corpus).select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    q = register_cache(
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    )
+    pairs = _ivf_candidate_pairs(c, q, n_centroids, n_probe, query_id_col)
+    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col)
     adc = (
-        enc.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        pairs.join(enc, "neighbor_id")
+        .join(F.broadcast(lut), [query_id_col, "sub", "code"])
         .groupBy(query_id_col, "neighbor_id")
         .agg(F.sum("dq").alias("adist"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    ranked = adc.withColumn("rank", F.row_number().over(w))
-    if rerank:
-        pairs = ranked.filter(F.col("rank") <= 4 * k).select(query_id_col, "neighbor_id")
-        return _rerank_topk(pairs, q, c, k, query_id_col)
-    return ranked.filter(F.col("rank") <= k).select(
-        query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adist")
+    )

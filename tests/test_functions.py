@@ -737,3 +737,63 @@ def test_pq_topk_matches_numpy_reference(spark, emb):
     rr = pq_topk(emb, q, dim=dim, k=3, m=m, n_codes=n_codes, rerank=True)
     assert set(rr.columns) >= {"query_id", "neighbor_id", "rank", "sim"}
     assert rr.count() == 20 * 3
+
+
+def test_ivfpq_topk_matches_numpy_reference(spark, emb):
+    """ivfpq_topk vs a sequential numpy recompute composing both specs:
+    IVF candidates (hash-sampled centroids, round-6 cosine, argmax cell
+    ties-to-lowest, top-n_probe cells) filtered through PQ ADC ranking
+    (integer-quantized LUT sums) — full-frame equality."""
+    import numpy as np
+
+    from bifrost_spark.functions.similarity import ivfpq_topk
+
+    m, n_codes, k, dim, n_centroids, n_probe = 4, 16, 5, 64, 16, 4
+    d = dim // m
+    M = (1 << 31) - 1
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64)
+    key = ((ids % M) * 2654435761 + 12345) % M
+    order = np.lexsort((ids, key))
+
+    # ---- IVF half: candidates
+    cents = V[order[:n_centroids]]           # centroid_id = 1-based position
+    norms = np.sqrt((V ** 2).sum(axis=1))
+    cn = np.sqrt((cents ** 2).sum(axis=1))
+    csim = np.round(V @ cents.T / np.outer(norms, cn), 6)
+    # argmax with ties to LOWEST centroid id == first max
+    cell = csim.argmax(axis=1)
+    qidx = np.where(ids < 20)[0]
+    cand = {}
+    for qi in qidx:
+        probe = np.lexsort((np.arange(n_centroids), -csim[qi]))[:n_probe]
+        members = np.isin(cell, probe) & (ids != ids[qi])
+        cand[int(ids[qi])] = set(ids[members].tolist())
+
+    # ---- PQ half: codes + ADC (same spec as test_pq_topk...)
+    cb = V[order[:n_codes]].reshape(n_codes, m, d)
+
+    def quant(a, b):
+        return np.round(((a - b) ** 2).sum(axis=-1) * 1e6).astype(np.int64)
+
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        dq = np.stack([quant(V[:, s * d:(s + 1) * d], cb[c, s]) for c in range(n_codes)])
+        codes[:, s] = dq.argmin(axis=0)
+
+    expected = {}
+    for qi in qidx:
+        lut = np.stack([quant(V[qi, s * d:(s + 1) * d], cb[:, s]) for s in range(m)])
+        adist = np.array([lut[s][codes[:, s]] for s in range(m)]).sum(axis=0)
+        pool = sorted((int(adist[j]), int(ids[j])) for j in range(len(ids))
+                      if int(ids[j]) in cand[int(ids[qi])])
+        for rank, (ad, nid) in enumerate(pool[:k], 1):
+            expected[(int(ids[qi]), nid)] = (rank, ad)
+
+    q = emb.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    got = {(r["query_id"], r["neighbor_id"]): (r["rank"], r["adist"])
+           for r in ivfpq_topk(emb, q, dim=dim, k=k, n_centroids=n_centroids,
+                               n_probe=n_probe, m=m, n_codes=n_codes).collect()}
+    assert got == expected
