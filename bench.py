@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
+    "sim_ann_ivfpq",
     "text_quality",
     "text_common_ngrams",
     "sample_training_mix",
