@@ -1799,6 +1799,13 @@ def q_doc_pipeline_v3(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+    # NOT cached, deliberately (A/B'd at sf0.1: a wash within window
+    # noise): the blocklist-build collect and the main DAG do each re-run
+    # the three-regex PII projection, but a scan-stage regex recompute
+    # costs about what materializing the text-heavy redacted corpus does —
+    # the opposite trade from the Arrow-kernel feature frame below, whose
+    # recompute is the clearly expensive stage.  Cache narrow/expensive,
+    # recompute wide/cheap.
     red = pii_scrub(aug, keep=["source"])
     bl = [r["gram"] for r in
           common_ngrams(red, text_col="text_redacted", min_docs=10, top=20).collect()]
