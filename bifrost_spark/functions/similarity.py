@@ -427,6 +427,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     rerank: bool = False,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """ANN scale path #3: product quantization (Jégou et al. 2011, the
     FAISS ``PQ``/``IVFPQ`` building block) — the MEMORY-bounded ANN path.
@@ -479,7 +480,7 @@ def pq_topk(
     q = register_cache(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     )
-    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col)
+    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col, refine_iters)
     adc = (
         enc.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -496,11 +497,13 @@ def pq_topk(
 
 
 def _pq_parts(c: DataFrame, q: DataFrame, dim: int, m: int, n_codes: int,
-              query_id_col: str) -> tuple[DataFrame, DataFrame]:
+              query_id_col: str, refine_iters: int = 0) -> tuple[DataFrame, DataFrame]:
     """The index-building half of ``pq_topk`` (see its docstring): returns
     ``enc`` = per-(neighbor_id, sub) nearest code and ``lut`` = per-(query,
     sub, code) integer-quantized distance table.  Shared by ``pq_topk``
-    (full ADC scan) and ``ivfpq_topk`` (ADC over IVF candidates only)."""
+    (full ADC scan) and ``ivfpq_topk`` (ADC over IVF candidates only).
+    ``refine_iters`` runs that many per-subspace Lloyd steps on the
+    codebook (production recall knob; oracle entries use 0)."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
@@ -528,14 +531,37 @@ def _pq_parts(c: DataFrame, q: DataFrame, dim: int, m: int, n_codes: int,
                          F.lit(0.0), lambda acc, x: acc + x)
         return F.round(sq * F.lit(1e6)).cast("long")
 
-    enc = (
-        c.select("neighbor_id", subs("cv").alias("sub", "sv"))
-        .join(F.broadcast(cb), "sub")
-        .select("neighbor_id", "sub",
-                F.col("code"), qdist(F.col("sv"), F.col("codev")).alias("dq"))
-        .groupBy("neighbor_id", "sub")
-        .agg(F.min_by("code", F.struct("dq", "code")).alias("code"))
-    )
+    csub = c.select("neighbor_id", subs("cv").alias("sub", "sv"))
+
+    def encode(codebook: DataFrame) -> DataFrame:
+        return (
+            csub.join(F.broadcast(codebook), "sub")
+            .select("neighbor_id", "sub",
+                    F.col("code"), qdist(F.col("sv"), F.col("codev")).alias("dq"))
+            .groupBy("neighbor_id", "sub")
+            .agg(F.min_by("code", F.struct("dq", "code")).alias("code"))
+        )
+
+    for _ in range(refine_iters):
+        # one distributed Lloyd step per SUBSPACE: assign codes under the
+        # current codebook, then new codev[sub, code] = component mean of
+        # the assigned subvectors.  Same shape as ivf_topk's refinement —
+        # the wide dependency is a (sub, code, component) aggregate of
+        # scalar rows; empty codes drop out.  Trades oracle-exactness for
+        # recall (float means are order-sensitive at ~1 ulp), so the
+        # oracle-checked entries keep refine_iters=0.
+        cb = register_cache(
+            encode(cb)
+            .join(csub, ["neighbor_id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("i", "x"))
+            .groupBy("sub", "code", "i")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                             lambda s: s["mu"]).alias("codev"))
+        )
+
+    enc = encode(cb)
     lut = (
         q.select(query_id_col, subs("qv").alias("sub", "sv"))
         .join(F.broadcast(cb), "sub")
@@ -556,6 +582,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """The FAISS ``IVFPQ`` composition — the 10^9+-vector shape both halves
     document as their scale path: the IVF coarse quantizer prunes
@@ -581,7 +608,7 @@ def ivfpq_topk(
         queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     )
     pairs = _ivf_candidate_pairs(c, q, n_centroids, n_probe, query_id_col)
-    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col)
+    enc, lut = _pq_parts(c, q, dim, m, n_codes, query_id_col, refine_iters)
     adc = (
         pairs.join(enc, "neighbor_id")
         .join(F.broadcast(lut), [query_id_col, "sub", "code"])

@@ -797,3 +797,31 @@ def test_ivfpq_topk_matches_numpy_reference(spark, emb):
            for r in ivfpq_topk(emb, q, dim=dim, k=k, n_centroids=n_centroids,
                                n_probe=n_probe, m=m, n_codes=n_codes).collect()}
     assert got == expected
+
+
+def test_pq_refinement_reduces_quantization_error(spark, emb):
+    """refine_iters>0 is the production recall knob: each per-subspace
+    Lloyd step must not increase total quantization error (k-means descent
+    property), and the refined codebook still encodes deterministically."""
+    from bifrost_spark.functions.similarity import _as_double, _pq_parts
+
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   _as_double(F.col("embedding")).alias("cv"))
+    qs = emb.select(F.col("vec_id").alias("query_id"),
+                    _as_double(F.col("embedding")).alias("qv"))
+
+    def err(refine):
+        # build the index, then measure the total chosen-code distance: the
+        # LUT over the WHOLE corpus as queries carries dq for every
+        # (vec, sub, code), so joining it to the assignment on aliased
+        # frames sums exactly the quantization error encode() minimized
+        enc, lut = _pq_parts(c, qs, dim=64, m=4, n_codes=8,
+                             query_id_col="query_id", refine_iters=refine)
+        e = enc.select(F.col("neighbor_id").alias("id"),
+                       F.col("sub").alias("s"), F.col("code").alias("cd"))
+        l = lut.select(F.col("query_id").alias("id"),
+                       F.col("sub").alias("s"), F.col("code").alias("cd"), "dq")
+        return e.join(l, ["id", "s", "cd"]).agg(F.sum("dq")).collect()[0][0]
+
+    e0, e1 = err(0), err(1)
+    assert e1 <= e0, (e1, e0)
