@@ -374,6 +374,27 @@ def main() -> int:
     ]
     sections.append(("pq_topk — bounded codebook seed, broadcast encode/ADC, partial combines", p, checks))
 
+    # 13b. ivfpq_topk: the composition must keep BOTH halves' shapes — no
+    # quadratic join, bounded seed scans for centroids AND codebook, and
+    # the ADC-over-candidates tail still partial-combines map-side.
+    from bifrost_spark.functions.similarity import ivfpq_topk
+
+    ivfpq = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        dim=64, k=3, n_centroids=8, n_probe=2, m=4, n_codes=8,
+    )
+    p = formatted(ivfpq)
+    checks = [
+        ("no quadratic join (no cartesian node)", "CartesianProduct" not in p),
+        ("both seed scans bounded (two TakeOrderedAndProject nodes: centroids + codebook)",
+         len(set(re.findall(r"\((\d+)\) TakeOrderedAndProject", p))) >= 2),
+        ("ADC sum partial-combines map-side", "partial_sum" in p),
+        ("cell argmax and encode argmin both aggregate with partial combines",
+         "partial_max_by" in p and "partial_min_by" in p),
+    ]
+    sections.append(("ivfpq_topk — composed IVF pruning + PQ ADC, both halves' shapes preserved", p, checks))
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by tools/plan_audit.py (also a regression gate: each check",
